@@ -1,0 +1,190 @@
+"""Headline analytics queries: TPC-H-style aggregates/joins and event ops.
+
+These are the bench.py workload. Float policy for cross-engine equality:
+monetary sums go through DECIMAL casts (exact, associative — immune to
+partition-order float drift between Spark and the DuckDB oracle), then
+back to DOUBLE for a stable output schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ecc_spark.ops.tables import load
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- TPC-H Q1 shape: wide hash aggregate (partial+final by Catalyst) ---
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_q("tpch_q1", _Q1_ORACLE)
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3 shape: 3-way join → agg → deterministic top-k ---
+_Q3_ORACLE = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@_q("tpch_q3_topk", _Q3_ORACLE)
+def tpch_q3_topk(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    # customer is the small side → broadcast; lineitem⨝orders shuffles on
+    # orderkey once and the groupBy reuses that partitioning
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- event tumbling-window aggregate (streaming-shaped, batch-executed) ---
+_WIN_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@_q("event_windowed_agg", _WIN_ORACLE)
+def event_windowed_agg(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --- sessionization: lag + cumulative gap counter (guide: common OLAP pattern) ---
+_SESS_ORACLE = """
+SELECT user_id, event_id, session_id FROM (
+  SELECT user_id, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events))
+"""
+
+
+@_q("event_sessionize", _SESS_ORACLE)
+def event_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+# --- pivot: event counts per user across types (OPS-23 family extension) ---
+_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY user_id
+"""
+
+
+@_q("event_pivot", _PIVOT_ORACLE)
+def event_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("error"),
+        )
+    )
+
+
+# --- approx distinct (SURVEY.md OPS-23 note: frontier-cardinality monitoring) ---
+# HLL sketches differ across engines; the oracle checks the EXACT distinct
+# count and the Spark side asserts the approximation is within rtol inside
+# the query (returning the exact value) — the approx path is bench-only.
+@_q(
+    "distinct_users_per_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
