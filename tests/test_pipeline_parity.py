@@ -1,0 +1,156 @@
+"""End-to-end pipeline parity: Spark engine vs pure-Python reference model
+on the synthetic span corpus — table set-equality for phase 1 and exact
+contexts equality (incl. RNG-parity sampling) for phase 2."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecc_spark.contexts import build_contexts
+from ecc_spark.fixtures import corpus_dataframes
+from ecc_spark.matches import build_matches
+from tests import ref_model
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    documents, seeds_df, seed_items, mid2rid, raw_docs = corpus_dataframes(
+        spark, n_docs=60, n_seeds=20, seed=42
+    )
+    pages, matches, mentions = build_matches(documents, seeds_df)
+    docs, seeds, _ = __import__("ecc_spark.gen", fromlist=["gen"]).corpus(
+        n_docs=60, n_seeds=20, seed=42
+    )
+    rpages, rmatches, rmentions = ref_model.build_matches(docs, seeds)
+    return {
+        "spark": (pages, matches, mentions),
+        "ref": (rpages, rmatches, rmentions),
+        "seed_items": seed_items,
+        "mid2rid": mid2rid,
+        "spark_session": spark,
+    }
+
+
+def test_pages_parity(built):
+    pages, _, _ = built["spark"]
+    rpages, _, _ = built["ref"]
+    got = {tuple(r) for r in pages.collect()}
+    want = {
+        (
+            p["title"], p["text"], p["link_count"], p["entity_link_count"],
+            p["mention_count"], p["unique_mention_count"], p["text_len"],
+            p["clean_text_len"], p["match_count"],
+        )
+        for p in rpages
+    }
+    assert got == want
+    assert len(got) > 30
+
+
+def test_matches_parity(built):
+    _, matches, _ = built["spark"]
+    _, rmatches, _ = built["ref"]
+    cols = ["mid", "entity_label", "mention", "page", "start_char", "end_char", "context"]
+    got = {tuple(r[c] for c in cols) for r in matches.collect()}
+    want = {tuple(m[c] for c in cols) for m in rmatches}
+    assert got == want
+    assert len(got) > 50
+
+
+def test_mentions_parity(built):
+    _, _, mentions = built["spark"]
+    _, _, rmentions = built["ref"]
+    got = {tuple(r) for r in mentions.collect()}
+    want = {(m["mid"], m["entity_label"], m["mention"]) for m in rmentions}
+    assert got == want
+    assert len(got) > 10
+
+
+@pytest.mark.parametrize("crop_sentences", [False, True])
+def test_contexts_parity_no_sampling(built, crop_sentences):
+    spark = built["spark_session"]
+    pages, matches, mentions = built["spark"]
+    rpages, rmatches, rmentions = built["ref"]
+    kw = dict(
+        context_size=100,
+        crop_sentences=crop_sentences,
+        limit_contexts=None,
+        limit_entities=None,
+        random_seed=123,
+    )
+    got_df = build_contexts(
+        spark, matches, pages, mentions, built["seed_items"], built["mid2rid"],
+        sample_mode="hash", **kw,
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    ref = ref_model.build_contexts(
+        rmatches, rpages, rmentions, built["seed_items"], built["mid2rid"], **kw
+    )
+    want = sorted(
+        (c["entity"], c["entity_label"], c["mention"], c["page_title"],
+         c["context"], c["masked_context"])
+        for c in ref
+    )
+    assert got == want
+    assert len(got) > 20
+
+
+def test_contexts_parity_rng_sampling(built):
+    """The hard one: limit_contexts with the shared MT19937 stream —
+    entity shuffle + per-entity shuffles in processing order, including
+    the skip-before-limit quirk (limit_entities)."""
+    spark = built["spark_session"]
+    pages, matches, mentions = built["spark"]
+    rpages, rmatches, rmentions = built["ref"]
+    kw = dict(
+        context_size=80,
+        crop_sentences=False,
+        limit_contexts=3,
+        limit_entities=10,
+        random_seed=99,
+    )
+    got_df = build_contexts(
+        spark, matches, pages, mentions, built["seed_items"], built["mid2rid"],
+        sample_mode="parity", **kw,
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    ref = ref_model.build_contexts(
+        rmatches, rpages, rmentions, built["seed_items"], built["mid2rid"], **kw
+    )
+    want = sorted(
+        (c["entity"], c["entity_label"], c["mention"], c["page_title"],
+         c["context"], c["masked_context"])
+        for c in ref
+    )
+    assert got == want
+    assert len(got) > 3
+
+
+def test_hash_sampling_respects_limit(built):
+    spark = built["spark_session"]
+    pages, matches, mentions = built["spark"]
+    got_df = build_contexts(
+        spark, matches, pages, mentions, built["seed_items"], built["mid2rid"],
+        context_size=80, limit_contexts=2, sample_mode="hash", random_seed=1,
+    )
+    import pyspark.sql.functions as F
+
+    counts = got_df.groupBy("entity").count().agg(F.max("count")).first()[0]
+    assert counts <= 2
+
+
+def test_determinism_across_partitioning(built):
+    """Same plan at different shuffle parallelism ⇒ identical output
+    (catches task-order dependence — SURVEY.md §5 gap 4)."""
+    spark = built["spark_session"]
+    pages, matches, mentions = built["spark"]
+    outs = []
+    for n in ("3", "16"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        df = build_contexts(
+            spark, matches, pages, mentions, built["seed_items"], built["mid2rid"],
+            context_size=100, limit_contexts=5, sample_mode="hash", random_seed=7,
+        )
+        outs.append(sorted(tuple(r) for r in df.collect()))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert outs[0] == outs[1]
