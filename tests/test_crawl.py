@@ -1,0 +1,170 @@
+"""Crawl-engine tests: canonicalization parity, bloom correctness,
+politeness vs unsalted window, crawl-order + seen-set equality vs the
+pure-Python reference crawler, and checkpoint resume."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ecc_spark import gen
+from ecc_spark.crawl.canonical import canonicalize_cols, canonicalize_py
+from ecc_spark.crawl.frontier import CrawlEngine
+from ecc_spark.crawl.politeness import attach_order_key, schedule_budget
+from ecc_spark.crawl.seen import build_bloom, filter_unseen
+from tests import ref_crawler
+
+URLS = [
+    "HTTPS://Host3.Example.com:443/wiki/Page_1?utm_source=x&id=7#frag",
+    "http://host0.example.com:80/",
+    "http://host0.example.com",
+    "https://host1.example.com/a/b?x=1&utm_medium=m&y=2",
+    "https://host2.example.com/p?fbclid=abc",
+    "  https://host4.example.com/trim  ",
+]
+
+
+def test_canonicalize_spark_matches_python(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], schema="url string")
+    cols = canonicalize_cols(F.col("url"))
+    got = df.select(
+        cols["canonical"].alias("c"), cols["host"].alias("h"), cols["priority"].alias("p")
+    ).collect()
+    for row, u in zip(got, URLS):
+        c, h, p = canonicalize_py(u)
+        assert row["c"] == c, u
+        assert row["h"] == h
+        assert abs(row["p"] - p) < 1e-12
+
+
+def test_canonicalize_rules():
+    c, h, p = canonicalize_py("HTTPS://Host3.Example.com:443/wiki/P?utm_source=x&id=7#f")
+    assert c == "https://host3.example.com/wiki/P?id=7"
+    assert h == "host3.example.com"
+    c2, _, _ = canonicalize_py("http://host0.example.com")
+    assert c2 == "http://host0.example.com/"
+    c3, _, _ = canonicalize_py("https://x.com:8443/a")
+    assert c3 == "https://x.com:8443/a"  # non-default port kept
+
+
+def test_bloom_never_drops(spark):
+    seen = spark.range(0, 5000).select(
+        F.xxhash64(F.concat(F.lit("u"), "id")).alias("url_hash"),
+        F.concat(F.lit("u"), "id").alias("url"),
+    )
+    cand = spark.range(4000, 9000).select(
+        F.xxhash64(F.concat(F.lit("u"), "id")).alias("url_hash"),
+        F.concat(F.lit("u"), "id").alias("url"),
+    )
+    bloom = build_bloom(seen, n_buckets=8, m_bits=1 << 16)
+    got = {r["url"] for r in filter_unseen(cand, seen, bloom, 8).collect()}
+    exact = {r["url"] for r in filter_unseen(cand, seen, None).collect()}
+    assert got == exact  # bloom is an accelerator, never changes the result
+    assert got == {f"u{i}" for i in range(5000, 9000)}
+
+
+def test_politeness_equals_unsalted_window(spark):
+    urls = gen.frontier_urls(3000, n_hosts=20, seed=3)
+    df = spark.createDataFrame([(u["url"],) for u in urls], schema="raw string")
+    from ecc_spark.crawl.frontier import _canon
+
+    front = _canon(df.withColumnRenamed("raw", "url")).dropDuplicates(["url"])
+    got = schedule_budget(front, host_budget=7, n_salts=16)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("host").orderBy("priority", "url")
+    want = (
+        front.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= 7).drop("_r")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_attach_order_key_is_global_sort_rank(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("priority"), F.concat(F.lit("u"), "id").alias("url")
+    )
+    out = attach_order_key(df, ["priority", "url"], base=100).collect()
+    expect = sorted(out, key=lambda r: (r["priority"], r["url"]))
+    for i, r in enumerate(expect):
+        assert r["order_key"] == 100 + i
+    assert len({r["order_key"] for r in out}) == 1000
+
+
+@pytest.fixture(scope="module")
+def crawl_setup(spark, tmp_path_factory):
+    urls = [u["url"] for u in gen.frontier_urls(400, n_hosts=25, seed=5)]
+    robots = gen.robots_rules(n_hosts=25, seed=9)
+    robots_df = spark.createDataFrame(robots, schema="host string, path_prefix string, allow boolean")
+    return urls, robots, robots_df
+
+
+def _run_engine(spark, tmp, urls, robots_df, waves, budget=8, resume_at=None):
+    eng = CrawlEngine(
+        spark, str(tmp), robots=robots_df, host_budget=budget, n_salts=4,
+        max_depth=2, use_bloom=True, bloom_buckets=8,
+    )
+    urls_df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    eng.seed(urls_df)
+    res = eng.run(waves)
+    return eng, res
+
+
+def test_crawl_order_and_seen_equality(spark, tmp_path, crawl_setup):
+    urls, robots, robots_df = crawl_setup
+    eng, res = _run_engine(spark, tmp_path / "c1", urls, robots_df, waves=3)
+
+    ref_order, ref_seen, ref_stats = ref_crawler.crawl(
+        urls, robots, host_budget=8, max_waves=3, max_depth=2
+    )
+    got_seen = eng.seen().select("url", "wave", "order_key").collect()
+    got = sorted((r["order_key"], r["wave"], r["url"]) for r in got_seen)
+    assert got == sorted(ref_order)
+    assert {r["url"] for r in got_seen} == set(ref_seen)
+    assert [w.scheduled for w in res.waves] == [s[0] for s in ref_stats]
+    assert [w.extracted for w in res.waves] == [s[1] for s in ref_stats]
+    assert res.total_scheduled > 100
+
+
+def test_crawl_without_bloom_identical(spark, tmp_path, crawl_setup):
+    urls, robots, robots_df = crawl_setup
+    eng1, _ = _run_engine(spark, tmp_path / "b1", urls, robots_df, waves=2)
+    eng2 = CrawlEngine(
+        spark, str(tmp_path / "b2"), robots=robots_df, host_budget=8, n_salts=4,
+        max_depth=2, use_bloom=False,
+    )
+    urls_df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    eng2.seed(urls_df)
+    eng2.run(2)
+    s1 = {tuple(r) for r in eng1.seen().select("url", "wave", "order_key").collect()}
+    s2 = {tuple(r) for r in eng2.seen().select("url", "wave", "order_key").collect()}
+    assert s1 == s2
+
+
+def test_checkpoint_resume(spark, tmp_path, crawl_setup):
+    urls, robots, robots_df = crawl_setup
+    # uninterrupted 3-wave run
+    eng_full, _ = _run_engine(spark, tmp_path / "r_full", urls, robots_df, waves=3)
+    want = sorted(tuple(r) for r in eng_full.seen().select("url", "wave", "order_key").collect())
+
+    # run 2 waves, "crash", resume a NEW engine from the checkpoint
+    _run_engine(spark, tmp_path / "r_part", urls, robots_df, waves=2)
+    eng_resumed = CrawlEngine(
+        spark, str(tmp_path / "r_part"), robots=robots_df, host_budget=8, n_salts=4,
+        max_depth=2, use_bloom=True, bloom_buckets=8, resume=True,
+    )
+    assert eng_resumed.next_wave == 2
+    eng_resumed.run(1)
+    got = sorted(tuple(r) for r in eng_resumed.seen().select("url", "wave", "order_key").collect())
+    assert got == want
+
+
+def test_run_log_lineage(spark, tmp_path, crawl_setup):
+    urls, robots, robots_df = crawl_setup
+    eng, res = _run_engine(spark, tmp_path / "l1", urls, robots_df, waves=2)
+    log = eng.t_runlog.read()
+    per_wave = {
+        r["wave"]: r["n"]
+        for r in log.groupBy("wave").agg(F.sum("scheduled").alias("n")).collect()
+    }
+    assert per_wave[0] == res.waves[0].scheduled
+    assert per_wave[1] == res.waves[1].scheduled
