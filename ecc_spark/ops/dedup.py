@@ -1,0 +1,247 @@
+"""Deduplication operators for training-data pipelines (★ oracles).
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard dedup over `documents`.
+All hash primitives are md5-based (portable: identical hex in the JVM and
+DuckDB), and every aggregate uses string-MIN / integer math, so the
+DuckDB oracle states the same computation exactly.
+
+Scale notes per operator are in the docstrings — the common theme:
+candidate generation shuffles on low-cardinality keys (shingle / band /
+simhash) and only candidate PAIRS, never the full cross product, reach
+the verification stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecc_spark.ops.tables import load
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+# ---------------------------------------------------------------------------
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; min doc_id is the
+    canonical representative (first-writer-wins, OPS-14 semantics).
+    One shuffle on a uniform 128-bit key — embarrassingly scalable."""
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, unnest(list_distinct([array_to_string(w[i+1:i+3], ' ')
+                   for i in generate_series(0, len(w) - 3)])) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3))
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup via word-3-gram Jaccard: distinct shingles → self-join on
+    shingle → pair-count → |A∩B| / (|A|+|B|−|A∩B|). The shingle join is the
+    shuffle; hot shingles (stopword runs) are the skew risk — AQE skew-join
+    handles it, and real deployments drop top-frequency shingles first."""
+    d = load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    d = d.filter(F.size("w") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jac",
+            F.col("common").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
+        )
+        .filter(F.col("jac") >= 0.2)
+    )
+    return j.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+_N_HASHES = 8
+_BAND_SIZE = 2  # 4 bands × 2 rows
+
+_MINHASH_SIG_SQL = ", ".join(
+    f"list_min([md5(concat(CAST({i} AS VARCHAR), ':', s)) for s in sh]) AS mh{i}"
+    for i in range(_N_HASHES)
+)
+_BANDS_SQL = ", ".join(
+    f"concat(CAST({b} AS VARCHAR), '|', "
+    + ", '|', ".join(f"mh{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))
+    + f") AS band{b}"
+    for b in range(_N_HASHES // _BAND_SIZE)
+)
+_MINHASH_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i+1:i+3], ' ')
+          for i in generate_series(0, len(w) - 3)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text,' ')) >= 3)
+), sigs AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL} FROM docs
+), banded AS (
+  SELECT doc_id, unnest([{", ".join(f"band{b}" for b in range(_N_HASHES // _BAND_SIZE))}]) AS band
+  FROM (SELECT doc_id, {_BANDS_SQL} FROM sigs)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 8 minhashes (string-MIN of
+    seeded md5) → 4 bands of 2 → bucket-join on band key → distinct pairs.
+    The full signature matrix is one narrow projection; the only shuffle
+    keys are band strings (uniform). At 10^10 docs the band join replaces
+    the O(n²) comparison with near-linear candidate generation."""
+    d = load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    d = d.filter(F.size("w") >= 3)
+    docs = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
+            )
+        ).alias("sh"),
+    )
+
+    def mh(i: int):
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"mh{i}")
+
+    sigs = docs.select("doc_id", *[mh(i) for i in range(_N_HASHES)])
+    bands = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)],
+        )
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, md5(t) AS h
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+), bits AS (
+  SELECT doc_id, b,
+         CASE WHEN ((strpos('0123456789abcdef', h[1 + b // 4]) - 1) >> (3 - b % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM tok, unnest(generate_series(0, 15)) AS u(b)
+), votes AS (
+  SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash per doc: per-token md5 → 16 bit votes → sign
+    aggregate. Two hash-aggregations on (doc_id[, bit]) — no joins; near-dup
+    pairs then come from bucketing on simhash (equal hashes) or a
+    band-rotate join for hamming ≤ k."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
+    )
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            F.expr(
+                "((instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1)"
+                " >> (3 - b % 4)) & 1"
+            )
+            == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1, b) ELSE 0 END"))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+QUERIES.update(
+    {
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_exact": _EXACT_ORACLE,
+        "dedup_ngram_jaccard": _NGRAM_ORACLE,
+        "dedup_minhash_lsh": _MINHASH_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
+    }
+)

@@ -1,0 +1,101 @@
+"""Training-data ops: properties the oracle hash can't express, plus
+streaming batch/stream parity and multimodal plumbing shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ecc_spark.ops.dedup import dedup_exact, dedup_minhash_lsh, dedup_ngram_jaccard
+from ecc_spark.ops.multimodal import decode_features, frame_sample, synth_media
+from ecc_spark.ops.similarity import ann_ivf_bucketed, ann_topk_cosine
+from ecc_spark.streaming import read_event_stream, run_to_memory, windowed_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_on_duplicated_corpus(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    dup = base.unionByName(base.withColumn("doc_id", F.col("doc_id") + 100000))
+    dup.createOrReplaceTempView("_dup")
+    got = (
+        dup.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 2 for r in got)  # every doc duplicated exactly once
+    assert all(r["keep"] < 100000 for r in got)  # keeps the first writer
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """LSH guarantee direction on real data: every pair with high true
+    jaccard must appear among minhash band candidates (4 bands × 2 rows,
+    τ≈0.5 → recall at j≥0.8 is essentially 1)."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    cand = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF).collect()}
+    assert true_pairs <= cand
+
+
+def test_ann_ivf_subset_of_bruteforce_universe(spark):
+    """IVF results are valid neighbors and self-matches are excluded."""
+    rows = ann_ivf_bucketed(spark, SF).collect()
+    assert rows
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_bruteforce_topk_monotone(spark):
+    rows = ann_topk_cosine(spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for pairs in per_q.values():
+        pairs.sort()
+        sims = [c for _, c in pairs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_features_deterministic_and_shaped(spark):
+    media = synth_media(spark, n=60)
+    f1 = {r["media_ref"]: (r["mean"], r["std"]) for r in decode_features(media).collect()}
+    f2 = {r["media_ref"]: (r["mean"], r["std"]) for r in decode_features(media).collect()}
+    assert f1 == f2  # fake codec is deterministic
+    assert len(f1) == 60
+    fs = frame_sample(media).collect()
+    assert fs
+    assert all(r["ts_ms"] % 500 == 0 for r in fs)
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """Streaming windowed agg == batch equivalent on the same files."""
+    import shutil
+
+    srcdir = tmp_path / "events_stream"
+    srcdir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", srcdir / "part-0.parquet")
+    src = str(srcdir)
+    stream = read_event_stream(spark, src, max_files=1)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    run_to_memory(agg, "stream_out", mode="update")
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM stream_out").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    want = {(r["hour_start"], r["event_type"]): (r["n"], round(r["v"], 6)) for r in batch}
+    assert got == want
