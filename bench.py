@@ -1,0 +1,107 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus a crawl-throughput
+measurement, and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl_urls_per_sec": ..., "crawl": {...}}
+
+The N-vs-4N scaling evidence (BASELINE.json two-cluster-size criterion)
+is produced by tools/scaling_bench.py → BENCH/BASELINE.md; this file
+stays fast enough for per-round driver runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3_topk",
+    "event_sessionize",
+    "event_windowed_agg",
+    "per_entity_topk",
+    "link_semijoin",
+    "seen_anti_join",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "ann_ivf_bucketed",
+    "lang_id",
+    "doc_fingerprint",
+    "context_window_join",
+    "build_contexts_pipeline",
+]
+
+
+def crawl_bench(spark, n_urls: int = 8000, waves: int = 2, budget: int = 120) -> dict:
+    from ecc_spark import gen
+    from ecc_spark.crawl.frontier import CrawlEngine
+
+    urls = [u["url"] for u in gen.frontier_urls(n_urls, n_hosts=60, seed=11)]
+    robots_df = spark.createDataFrame(
+        gen.robots_rules(n_hosts=60, seed=9),
+        schema="host string, path_prefix string, allow boolean",
+    )
+    eng = CrawlEngine(
+        spark, tempfile.mkdtemp(prefix="bench_crawl_"), robots=robots_df,
+        host_budget=budget, n_salts=16, max_depth=2,
+    )
+    eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))
+    t0 = time.time()
+    res = eng.run(waves)
+    dt = time.time() - t0
+    total = res.total_scheduled + res.total_extracted
+    return {
+        "urls_scheduled": res.total_scheduled,
+        "spans_extracted": res.total_extracted,
+        "seconds": round(dt, 2),
+        "urls_extracted_per_sec": round(total / dt, 1),
+    }
+
+
+def main() -> int:
+    from ecc_spark.registry import queries as load_queries
+    from ecc_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS)
+    qs = load_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    crawl = crawl_bench(spark)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds_plus_crawl_throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "crawl_urls_per_sec": crawl["urls_extracted_per_sec"],
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

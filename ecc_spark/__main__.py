@@ -1,0 +1,207 @@
+"""CLI mirroring the reference's command surface (``python -m ecc_spark``;
+reference: entity_context_crawler/__main__.py:19-68). Same subcommands,
+same flags, same file formats for entities JSON and mid2rid TXT; the
+SQLite outputs become parquet table directories. Designed for
+``spark-submit --py-files ecc_spark.zip`` on a cluster — the session
+factory only fills in a master when none is configured.
+
+    python -m ecc_spark ingest            markup.parquet docs.parquet
+    python -m ecc_spark build-matches-db  docs.parquet entities.json out_matches/
+    python -m ecc_spark build-contexts-db entities.json mid2rid.txt matches/ out_contexts/
+    python -m ecc_spark crawl             seeds.txt workdir/
+
+Divergences from the reference, all documented: --in-memory is accepted
+and ignored (shuffle/caching subsumes it, SURVEY.md OPS-6); the XML dump
+scan is replaced by the `ingest` step over markup parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from argparse import ArgumentParser, HelpFormatter
+
+
+def _formatter(prog):
+    return HelpFormatter(prog, max_help_position=40)
+
+
+def _check_overwrite(path: str, overwrite: bool, what: str) -> bool:
+    # reference cmd/build_matches_db.py:100-105
+    if os.path.exists(path) and not overwrite:
+        print(f"{what} already exists. Use --overwrite to overwrite it.")
+        return False
+    return True
+
+
+def cmd_ingest(args) -> int:
+    from ecc_spark.ingest import ingest_markup
+    from ecc_spark.session import get_spark
+
+    spark = get_spark("ecc_ingest")
+    df = spark.read.parquet(args.markup_parquet)
+    if args.limit_pages:  # OPS-24: limit on the raw stream, before filters
+        df = df.orderBy("doc_seq" if "doc_seq" in df.columns else "doc_id").limit(
+            args.limit_pages
+        )
+    ingest_markup(df).write.mode("overwrite" if args.overwrite else "errorifexists").parquet(
+        args.out_parquet
+    )
+    print(f"ingested -> {args.out_parquet}")
+    return 0
+
+
+def cmd_build_matches(args) -> int:
+    from ecc_spark.dao import MatchesStore, load_entities_json, seeds_df
+    from ecc_spark.matches import build_matches
+    from ecc_spark.session import get_spark
+
+    if not os.path.isfile(args.freebase_json):
+        print("Freebase JSON not found")
+        return 2
+    if not _check_overwrite(args.matches_db, args.overwrite, "Matches DB"):
+        return 2
+    spark = get_spark("ecc_build_matches")
+    docs = spark.read.parquet(args.docs_parquet)
+    if args.limit_pages:
+        docs = docs.orderBy("doc_seq" if "doc_seq" in docs.columns else "doc_id").limit(
+            args.limit_pages
+        )
+    seeds = seeds_df(spark, load_entities_json(args.freebase_json))
+    pages, matches, mentions = build_matches(docs, seeds)
+    MatchesStore(spark, args.matches_db).write(pages, matches, mentions)
+    n = MatchesStore(spark, args.matches_db).pages().count()
+    print(f"matches DB written: {n} pages -> {args.matches_db}")
+    return 0
+
+
+def cmd_build_contexts(args) -> int:
+    from ecc_spark.contexts import build_contexts
+    from ecc_spark.dao import (
+        ContextsStore,
+        MatchesStore,
+        load_entities_json,
+        load_mid2rid_txt,
+    )
+    from ecc_spark.session import get_spark
+
+    for p, what in [(args.freebase_json, "Freebase JSON"), (args.mid2rid_txt, "mid2rid TXT")]:
+        if not os.path.isfile(p):
+            print(f"{what} not found")
+            return 2
+    if not _check_overwrite(args.contexts_db, args.overwrite, "Contexts DB"):
+        return 2
+    spark = get_spark("ecc_build_contexts")
+    entities = load_entities_json(args.freebase_json)
+    mid2rid = load_mid2rid_txt(args.mid2rid_txt)
+    store = MatchesStore(spark, args.matches_db)
+    ctx = build_contexts(
+        spark,
+        store.matches(),
+        store.pages(),
+        store.mentions(),
+        [(e["mid"], e["label"], e["wikipedia"]) for e in entities],
+        mid2rid,
+        context_size=args.context_size,
+        crop_sentences=args.crop_sentences,
+        limit_contexts=args.limit_contexts,
+        limit_entities=args.limit_entities,
+        random_seed=args.random_seed,
+        sample_mode=args.sample_mode,
+    )
+    ContextsStore(spark, args.contexts_db).write(ctx)
+    out = ContextsStore(spark, args.contexts_db)
+    if args.csv_file:  # per-entity stats CSV (ref cmd/build_contexts_db.py:234-236)
+        import pyspark.sql.functions as F
+
+        stats = out.contexts().groupBy("entity_label").agg(F.count("*").alias("n"))
+        with open(args.csv_file, "w", encoding="utf-8") as fh:
+            for r in stats.collect():
+                fh.write(f"{r['entity_label']},{r['n']}\n")
+    print(f"contexts DB written: {out.contexts().count()} contexts -> {args.contexts_db}")
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    from ecc_spark.crawl.frontier import CrawlEngine
+    from ecc_spark.session import get_spark
+
+    spark = get_spark("ecc_crawl")
+    robots = None
+    if args.robots_parquet:
+        robots = spark.read.parquet(args.robots_parquet)
+    eng = CrawlEngine(
+        spark, args.workdir, robots=robots, host_budget=args.host_budget,
+        n_salts=args.n_salts, max_depth=args.max_depth, resume=args.resume,
+    )
+    if not args.resume:
+        with open(args.seeds_txt, encoding="utf-8") as fh:
+            urls = [line.strip() for line in fh if line.strip()]
+        eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))
+    res = eng.run(args.waves)
+    for w in res.waves:
+        print(
+            f"wave {w.wave}: scheduled={w.scheduled} extracted={w.extracted} "
+            f"new={w.new_urls} {w.seconds:.1f}s"
+        )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = ArgumentParser(
+        formatter_class=_formatter,
+        description="ecc_spark — PySpark-native entity-context engine",
+    )
+    subs = parser.add_subparsers(required=True)
+
+    common = ArgumentParser(add_help=False)
+    common.add_argument("--random-seed", dest="random_seed", metavar="STR", default=None)
+
+    p = subs.add_parser("ingest", formatter_class=_formatter, parents=[common])
+    p.add_argument("markup_parquet")
+    p.add_argument("out_parquet")
+    p.add_argument("--limit-pages", type=int, default=None)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(func=cmd_ingest)
+
+    p = subs.add_parser("build-matches-db", formatter_class=_formatter, parents=[common])
+    p.add_argument("docs_parquet", metavar="docs-parquet")
+    p.add_argument("freebase_json", metavar="freebase-json")
+    p.add_argument("matches_db", metavar="matches-db")
+    p.add_argument("--in-memory", dest="in_memory", action="store_true",
+                   help="accepted for compatibility; a no-op on Spark")
+    p.add_argument("--limit-pages", dest="limit_pages", type=int, default=None)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(func=cmd_build_matches)
+
+    p = subs.add_parser("build-contexts-db", formatter_class=_formatter, parents=[common])
+    p.add_argument("freebase_json", metavar="freebase-json")
+    p.add_argument("mid2rid_txt", metavar="mid2rid-txt")
+    p.add_argument("matches_db", metavar="matches-db")
+    p.add_argument("contexts_db", metavar="contexts-db")
+    p.add_argument("--context-size", type=int, default=100)
+    p.add_argument("--crop-sentences", action="store_true")
+    p.add_argument("--csv-file", dest="csv_file", default=None)
+    p.add_argument("--limit-contexts", type=int, default=None)
+    p.add_argument("--limit-entities", type=int, default=None)
+    p.add_argument("--sample-mode", choices=["hash", "parity"], default="hash")
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(func=cmd_build_contexts)
+
+    p = subs.add_parser("crawl", formatter_class=_formatter, parents=[common])
+    p.add_argument("seeds_txt")
+    p.add_argument("workdir")
+    p.add_argument("--robots-parquet", default=None)
+    p.add_argument("--host-budget", type=int, default=100)
+    p.add_argument("--n-salts", type=int, default=16)
+    p.add_argument("--max-depth", type=int, default=3)
+    p.add_argument("--waves", type=int, default=3)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(func=cmd_crawl)
+
+    args = parser.parse_args(argv[1:] if argv else None)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

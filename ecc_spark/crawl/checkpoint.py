@@ -7,8 +7,17 @@ read-latest / read-as-of, and per-wave lineage. ``try_iceberg()`` returns
 a real-Iceberg binding when the catalog is configured, keeping the wave
 loop storage-agnostic.
 
+Two table modes:
+- replace (default): each snapshot is the full table (frontier — it
+  mutates every wave);
+- append: each snapshot holds only that wave's DELTA; a read unions the
+  deltas up to the requested snapshot (seen, run_log — append-only, so
+  commit cost is O(wave), not O(total): the difference between a crawl
+  that slows down every wave and one that doesn't).
+
 Layout:  <root>/<name>/snap=<id>/part-*.parquet
-         <root>/<name>/_manifest.json   {"snapshots": [{id, wave, rows}], "latest": id}
+         <root>/<name>/_manifest.json
+         {"snapshots": [{id, wave, rows}], "latest": id, "append": bool}
 """
 
 from __future__ import annotations
@@ -20,28 +29,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    def __init__(self, spark: SparkSession, root: str, name: str, append: bool = False):
         self.spark = spark
+        self.append = append
         self.dir = os.path.join(root, name)
         self.manifest_path = os.path.join(self.dir, "_manifest.json")
         os.makedirs(self.dir, exist_ok=True)
 
     def _manifest(self) -> dict:
         if not os.path.exists(self.manifest_path):
-            return {"snapshots": [], "latest": None}
+            return {"snapshots": [], "latest": None, "append": self.append}
         with open(self.manifest_path, encoding="utf-8") as fh:
             return json.load(fh)
 
-    def commit(self, df: DataFrame, wave: int) -> int:
-        """Write df as a new snapshot; the manifest update IS the commit
-        (readers never see a half-written snapshot)."""
+    def commit(self, df: DataFrame, wave: int, rows: int | None = None) -> int:
+        """Write df as a new snapshot (full table, or the delta in append
+        mode); the manifest update IS the commit — readers never see a
+        half-written snapshot. Pass ``rows`` (of THIS df) when known to
+        skip the metadata read-back."""
         man = self._manifest()
         snap_id = (man["latest"] or 0) + 1
         path = os.path.join(self.dir, f"snap={snap_id}")
         df.write.mode("overwrite").parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        if rows is None:
+            rows = self.spark.read.parquet(path).count()
         man["snapshots"].append({"id": snap_id, "wave": wave, "rows": rows})
         man["latest"] = snap_id
+        man["append"] = self.append
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(man, fh)
@@ -53,10 +67,27 @@ class SnapshotTable:
         sid = snapshot_id if snapshot_id is not None else man["latest"]
         if sid is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.dir, f"snap={sid}"))
+        if not man.get("append"):
+            return self.spark.read.parquet(os.path.join(self.dir, f"snap={sid}"))
+        paths = [
+            os.path.join(self.dir, f"snap={s['id']}")
+            for s in man["snapshots"]
+            if s["id"] <= sid
+        ]
+        return self.spark.read.parquet(*paths)
 
     def latest_id(self) -> int | None:
         return self._manifest()["latest"]
+
+    def latest_rows(self) -> int | None:
+        """Row count of the latest table state, from the manifest — no job.
+        In append mode this is the cumulative sum of delta rows."""
+        man = self._manifest()
+        if man["latest"] is None:
+            return None
+        if man.get("append"):
+            return sum(s["rows"] for s in man["snapshots"] if s["id"] <= man["latest"])
+        return next(s["rows"] for s in man["snapshots"] if s["id"] == man["latest"])
 
     def latest_wave(self) -> int | None:
         man = self._manifest()

@@ -26,15 +26,18 @@ _WORDS = (
 
 
 def simulate_fetch(canonical_url: str, n_hosts: int = 50, max_fanout: int = 6) -> str:
-    """Markup content for a URL: 2-4 sentences interleaved with 0..max_fanout
-    outlinks to other synthetic hosts/pages."""
+    """Markup content for a URL: realistic page weight (tens of
+    paragraphs, ~10-40 KB — Wikipedia wikitext averages ~30 KB) with
+    0..max_fanout outlinks. The parse cost this implies is the dominant,
+    embarrassingly-parallel work of a real crawl wave; a byte-sized fake
+    page would make every benchmark overhead-bound and meaningless."""
     h = zlib.crc32(canonical_url.encode("utf-8"))
     n_links = h % (max_fanout + 1)
-    n_sents = 2 + (h >> 3) % 3
+    n_sents = 160 + (h >> 3) % 160  # ~20-40 KB markup: Wikipedia-realistic
     parts = []
     for i in range(max(n_sents, n_links)):
         v = zlib.crc32(f"{canonical_url}#s{i}".encode())
-        words = [_WORDS[(v >> (j * 3)) % len(_WORDS)] for j in range(6)]
+        words = [_WORDS[(v >> (j * 2)) % len(_WORDS)] for j in range(12)]
         sent = " ".join(words).capitalize() + " page content here for extraction."
         parts.append(sent)
         if i < n_links:
@@ -47,7 +50,6 @@ def simulate_fetch(canonical_url: str, n_hosts: int = 50, max_fanout: int = 6) -
 
 FETCH_SCHEMA = T.StructType(
     [
-        T.StructField("content", T.StringType(), False),
         T.StructField("outlinks", T.ArrayType(T.StringType()), False),
         T.StructField("n_spans", T.IntegerType(), False),
     ]
@@ -58,14 +60,15 @@ FETCH_SCHEMA = T.StructType(
 def fetch_and_extract_udf(url: pd.Series) -> pd.DataFrame:
     """Fetch + extract in one vectorized pass: markup → span array →
     outlinks = link-span targets. Lives JVM-adjacent (Arrow batches);
-    the only Python in the wave loop."""
+    the only Python in the wave loop. Page CONTENT stays executor-side —
+    returning it would serialize ~6 KB/row through Arrow only to be
+    dropped; a real deployment writes content to the documents store from
+    inside this stage (foreachBatch-style), never back through the plan."""
     from ecc_spark.ingest import parse_markup
 
-    contents, outlinks, nspans = [], [], []
+    outlinks, nspans = [], []
     for u in url:
-        content = simulate_fetch(u)
-        spans = parse_markup(content)
-        contents.append(content)
+        spans = parse_markup(simulate_fetch(u))
         outlinks.append([s["media_ref"] for s in spans if s["kind"] == "link"])
         nspans.append(len(spans))
-    return pd.DataFrame({"content": contents, "outlinks": outlinks, "n_spans": nspans})
+    return pd.DataFrame({"outlinks": outlinks, "n_spans": nspans})

@@ -28,13 +28,14 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecc_spark.crawl.canonical import canonicalize_cols
 from ecc_spark.crawl.checkpoint import SnapshotTable
-from ecc_spark.crawl.fetchsim import fetch_and_extract_udf
-from ecc_spark.crawl.politeness import attach_order_key, schedule_budget
+from ecc_spark.crawl.politeness import schedule_budget
 from ecc_spark.crawl.robots import apply_robots
 from ecc_spark.crawl.seen import build_bloom, filter_unseen
 
@@ -47,6 +48,7 @@ class WaveMetrics:
     extracted: int
     new_urls: int
     seconds: float
+    detail: dict = field(default_factory=dict)  # per-phase seconds
 
 
 @dataclass
@@ -97,13 +99,17 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
         self.t_frontier = SnapshotTable(spark, workdir, "frontier")
-        self.t_seen = SnapshotTable(spark, workdir, "seen")
-        self.t_runlog = SnapshotTable(spark, workdir, "run_log")
+        # seen and run_log are append-only → delta snapshots (O(wave) commits)
+        self.t_seen = SnapshotTable(spark, workdir, "seen", append=True)
+        self.t_runlog = SnapshotTable(spark, workdir, "run_log", append=True)
+        self._bloom = None  # incremental, in-memory across waves; rebuilt on resume
         if resume:
             lw = self.t_frontier.latest_wave()
             self.next_wave = 0 if lw is None else lw + 1
+            self._seen_count = self.t_seen.latest_rows() or 0
         else:
             self.next_wave = 0
+            self._seen_count = 0
 
     # -- state ---------------------------------------------------------
     def frontier(self) -> DataFrame | None:
@@ -135,42 +141,127 @@ class CrawlEngine:
             .withColumn("state", F.lit("queued"))
         )
         self.t_frontier.commit(front, wave=-1)
-        self.t_seen.commit(self._empty_seen(), wave=-1)
+        self.t_seen.commit(self._empty_seen(), wave=-1, rows=0)
         self.next_wave = 0
+        self._seen_count = 0
+        self._bloom = None
+
+    def _order_and_fetch(self, scheduled: DataFrame, base: int) -> DataFrame:
+        """Crawl-order assignment + fetch + extract in one mapInPandas pass.
+
+        Range-partition by (priority, url) with an EXPLICIT partition count
+        (AQE would coalesce by byte size and starve the Python stage — see
+        politeness.attach_order_key), pin the partitioning (the offsets
+        job and the fetch job must agree), compute per-partition offsets,
+        then a single Python crossing does: partition-local rank + offset
+        → order_key; simulate_fetch + parse → outlinks, n_spans."""
+        import pandas as pd
+
+        spark = self.spark
+        npart = spark.sparkContext.defaultParallelism * 2
+        ranged = (
+            scheduled.repartitionByRange(npart, "priority", "url")
+            .sortWithinPartitions("priority", "url")
+            .localCheckpoint(eager=True)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        counts = {
+            r["_pid"]: r["n"]
+            for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = base
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
+        out_schema = (
+            "url string, url_hash long, host string, priority double, "
+            "depth int, order_key long, outlinks array<string>, n_spans int"
+        )
+
+        def fused(it):
+            from ecc_spark.crawl.fetchsim import simulate_fetch
+            from ecc_spark.ingest import parse_markup
+
+            local = 0
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                order = offsets.get(pid, base) + local + pd.RangeIndex(len(pdf))
+                local += len(pdf)
+                outlinks, nspans = [], []
+                for u in pdf["url"]:
+                    spans = parse_markup(simulate_fetch(u))
+                    outlinks.append(
+                        [s["media_ref"] for s in spans if s["kind"] == "link"]
+                    )
+                    nspans.append(len(spans))
+                yield pd.DataFrame(
+                    {
+                        "url": pdf["url"].to_numpy(),
+                        "url_hash": pdf["url_hash"].to_numpy(),
+                        "host": pdf["host"].to_numpy(),
+                        "priority": pdf["priority"].to_numpy(),
+                        "depth": pdf["depth"].to_numpy(),
+                        "order_key": order,
+                        "outlinks": outlinks,
+                        "n_spans": nspans,
+                    }
+                )
+
+        return ranged.mapInPandas(fused, schema=out_schema)
 
     def run_wave(self) -> WaveMetrics:
         wave = self.next_wave
         t0 = time.time()
+        detail: dict[str, float] = {}
+
+        def mark(key: str, since: float) -> float:
+            now = time.time()
+            detail[key] = round(now - since, 2)
+            return now
+
         frontier = self.frontier()
+        frontier_rows = self.t_frontier.latest_rows() or 0
         seen = self.seen() or self._empty_seen()
+        base = self._seen_count  # order_key continues across waves (no job)
 
-        # schedule: per-host budget, then explicit crawl order
+        # schedule: per-host budget, then ONE fused Python stage that
+        # assigns the explicit crawl order AND fetches+extracts — the
+        # scheduled set crosses Arrow exactly once
         scheduled = schedule_budget(frontier, self.host_budget, self.n_salts)
-        base = seen.count()  # order_key continues across waves
-        scheduled = attach_order_key(scheduled, ["priority", "url"], base=base)
-        scheduled = scheduled.cache()
-        n_scheduled = scheduled.count()
-
-        # fetch + extract (vectorized; salt-partitioning spreads hot hosts)
-        fetched = scheduled.repartition(
-            F.col("host"), F.pmod(F.crc32(F.encode("url", "utf-8")), F.lit(self.n_salts))
-        ).withColumn("fx", fetch_and_extract_udf("url"))
-        fetched = fetched.select(
-            "url", "url_hash", "host", "priority", "depth", "order_key",
-            F.col("fx.outlinks").alias("outlinks"),
-            F.col("fx.n_spans").alias("n_spans"),
-        ).cache()
-        extracted = fetched.agg(F.sum("n_spans")).first()[0] or 0
+        fetched = self._order_and_fetch(scheduled, base)
+        # one materialization: fetch runs exactly once, everything
+        # downstream (seen union, expansion, run_log) reads these partitions
+        fetched = fetched.localCheckpoint(eager=True)
+        # per-salt lineage doubles as the wave stats — one job, collected
+        # (≤ n_salts rows), written back without recompute
+        runlog_rows = (
+            fetched.groupBy(
+                F.pmod(F.crc32(F.encode("url", "utf-8")), F.lit(self.n_salts))
+                .cast("int")
+                .alias("partition_id")
+            )
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.count("*").alias("fetched"),
+                F.coalesce(F.sum("n_spans"), F.lit(0)).alias("extracted"),
+            )
+            .collect()
+        )
+        n_scheduled = sum(r["scheduled"] for r in runlog_rows)
+        extracted = int(sum(r["extracted"] for r in runlog_rows))
+        t = mark("schedule_fetch", t0)
 
         # seen ∪ scheduled
         new_seen = seen.unionByName(
-            fetched.select(
-                "url_hash", "url", F.lit(wave).alias("wave"), "order_key"
-            )
+            fetched.select("url_hash", "url", F.lit(wave).alias("wave"), "order_key")
         )
 
         # expand: outlinks → canonicalize → robots → in-wave dedup →
-        # seen anti-join (bloom fast path) → frontier anti-join
+        # seen anti-join (incremental bloom fast path) → frontier anti-join
         out = fetched.select("depth", F.explode("outlinks").alias("raw_url"))
         out = out.filter(F.col("depth") < self.max_depth)
         cand = _canon(out.withColumnRenamed("raw_url", "url"))
@@ -181,65 +272,81 @@ class CrawlEngine:
             F.first("url_hash").alias("url_hash"),
             (F.min("depth") + 1).alias("depth"),
         )
-        bloom = (
-            build_bloom(new_seen, self.bloom_buckets) if self.use_bloom else None
-        )
+        bloom = None
+        if self.use_bloom:
+            # incremental, DRIVER-RESIDENT bloom: build over this wave's
+            # delta (full seen set once, on resume), collect the ~8 MB of
+            # bucket bitmaps, OR into the running dict. No per-wave merge
+            # job, no checkpoint — the dict is re-broadcast each wave.
+            # Beyond driver-resident size the sharded-cogroup path in
+            # seen.filter_unseen applies instead.
+            src = (
+                new_seen if (self._bloom is None and wave > 0) else fetched
+            ).select("url_hash")
+            delta = build_bloom(src, self.bloom_buckets).collect()
+            if self._bloom is None:
+                self._bloom = {}
+            for r in delta:
+                arr = np.frombuffer(r["bitmap"], dtype=np.uint8)
+                prev = self._bloom.get(r["bucket"])
+                self._bloom[r["bucket"]] = (
+                    arr.tobytes() if prev is None
+                    else np.bitwise_or(np.frombuffer(prev, dtype=np.uint8), arr).tobytes()
+                )
+            bloom = self._bloom
         cand = filter_unseen(cand, new_seen, bloom, self.bloom_buckets)
 
-        remaining = frontier.join(
-            fetched.select("url_hash"), "url_hash", "left_anti"
-        )
+        remaining = frontier.join(fetched.select("url_hash"), "url_hash", "left_anti")
         cand = cand.join(remaining.select("url_hash"), "url_hash", "left_anti")
         new_frontier = remaining.unionByName(
-            cand.withColumn("wave", F.lit(wave + 1)).withColumn(
-                "state", F.lit("queued")
-            ).select(*remaining.columns)
+            cand.withColumn("wave", F.lit(wave + 1))
+            .withColumn("state", F.lit("queued"))
+            .select(*remaining.columns)
         )
-        n_new = cand.count()
+        t = mark("expand_plan", t)
 
-        # commit (checkpoint granularity = wave; reference committed per
-        # page, cmd/build_matches_db.py:179)
-        self.t_seen.commit(new_seen, wave=wave)
+        # commit (checkpoint granularity = wave; the reference committed per
+        # page, cmd/build_matches_db.py:179). Seen delta only — append table.
+        self.t_seen.commit(
+            fetched.select("url_hash", "url", F.lit(wave).alias("wave"), "order_key"),
+            wave=wave,
+            rows=n_scheduled,
+        )
+        self._seen_count = base + n_scheduled
+        t = mark("commit_seen", t)
         self.t_frontier.commit(new_frontier, wave=wave)
-        runlog = (
-            fetched.groupBy(
-                F.pmod(F.crc32(F.encode("url", "utf-8")), F.lit(self.n_salts))
-                .cast("int")
-                .alias("partition_id")
-            )
-            .agg(
-                F.count("*").alias("scheduled"),
-                F.count("*").alias("fetched"),
-                F.sum("n_spans").alias("extracted"),
-            )
-            .withColumn("wave", F.lit(wave))
-            .withColumn("snapshot_id", F.lit(self.t_seen.latest_id()).cast("long"))
-            .select(
-                "wave", "snapshot_id", "partition_id", "scheduled", "fetched", "extracted"
-            )
-        )
-        prev_log = self.t_runlog.read()
-        if prev_log is not None:
-            runlog = prev_log.unionByName(runlog)
-        self.t_runlog.commit(runlog, wave=wave)
+        new_frontier_rows = self.t_frontier.latest_rows() or 0
+        n_new = new_frontier_rows - (frontier_rows - n_scheduled)
+        t = mark("commit_frontier", t)
 
-        scheduled.unpersist()
-        fetched.unpersist()
+        snap_id = self.t_seen.latest_id() or 0
+        runlog = self.spark.createDataFrame(
+            [
+                (wave, snap_id, r["partition_id"], r["scheduled"], r["fetched"],
+                 int(r["extracted"]))
+                for r in runlog_rows
+            ] or [(wave, snap_id, 0, 0, 0, 0)],
+            schema="wave int, snapshot_id long, partition_id int, "
+            "scheduled long, fetched long, extracted long",
+        )
+        self.t_runlog.commit(runlog, wave=wave, rows=len(runlog_rows))
+        mark("commit_runlog", t)
+
         self.next_wave = wave + 1
         return WaveMetrics(
             wave=wave,
             scheduled=n_scheduled,
             fetched=n_scheduled,
-            extracted=int(extracted),
+            extracted=extracted,
             new_urls=n_new,
             seconds=time.time() - t0,
+            detail=detail,
         )
 
     def run(self, max_waves: int) -> CrawlResult:
         res = CrawlResult()
         for _ in range(max_waves):
-            frontier = self.frontier()
-            if frontier is None or frontier.limit(1).count() == 0:
+            if not (self.t_frontier.latest_rows() or 0):
                 break
             res.waves.append(self.run_wave())
         return res

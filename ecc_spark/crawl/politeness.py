@@ -39,14 +39,25 @@ def schedule_budget(frontier: DataFrame, host_budget: int, n_salts: int = 16) ->
     )
 
 
-def attach_order_key(df: DataFrame, sort_cols: list[str], base: int = 0) -> DataFrame:
+def attach_order_key(
+    df: DataFrame, sort_cols: list[str], base: int = 0, num_partitions: int | None = None
+) -> DataFrame:
     """Global rank by ``sort_cols`` WITHOUT a single-partition window:
     range-repartition + sortWithinPartitions, then partition-local indexes
     offset by per-partition counts (the scalable zipWithIndex pattern).
-    Costs one extra count job; every stage stays parallel."""
+    Costs one extra count job; every stage stays parallel.
+
+    The partition count is EXPLICIT: an implicit repartitionByRange gets
+    AQE-coalesced by shuffle-byte size, which would funnel the downstream
+    per-row fetch UDF (whose cost AQE cannot see) into one or two tasks —
+    measured 1x core utilization at any parallelism before this."""
     import pandas as pd
 
-    ranged = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    ranged = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
     # pin the physical partitioning: the counts job and the ranking job must
     # see the SAME partitions (AQE may otherwise coalesce each execution
     # differently → duplicate ranks)

@@ -58,38 +58,30 @@ def build_bloom(seen: DataFrame, n_buckets: int = 64, m_bits: int = 1 << 20) -> 
     )
 
 
-@F.pandas_udf(T.BooleanType())
-def _maybe_contains(url_hash: pd.Series, bitmap: pd.Series) -> pd.Series:
-    out = np.zeros(len(url_hash), dtype=bool)
-    m_bits_by_id: dict[int, int] = {}
-    # group rows by identical bitmap object to vectorize per bucket
-    groups: dict[int, list[int]] = {}
-    bufs: dict[int, bytes] = {}
-    for i, b in enumerate(bitmap):
-        key = id(b)
-        groups.setdefault(key, []).append(i)
-        bufs[key] = b
-    for key, rows in groups.items():
-        if bufs[key] is None:
-            # bucket has no seen keys at all (F.when does not short-circuit
-            # UDF evaluation) → definitely new
-            out[rows] = False
-            continue
-        buf = np.frombuffer(bufs[key], dtype=np.uint8)
-        m_bits = len(buf) * 8
-        m_bits_by_id[key] = m_bits
-        h = url_hash.iloc[rows].to_numpy()
-        hit = np.ones(len(rows), dtype=bool)
-        for idx in _indexes(h, m_bits):
-            hit &= (buf[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
-        out[rows] = hit
-    return pd.Series(out)
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR two bloom tables per bucket (incremental maintenance:
+    build over each wave's delta, merge — never rebuild over all of seen)."""
+
+    def orred(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for raw in pdf["bitmap"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bitmap": [acc.tobytes()]}
+        )
+
+    return (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .applyInPandas(orred, schema="bucket int, bitmap binary")
+    )
 
 
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: DataFrame | None = None,
+    bloom: DataFrame | dict | None = None,
     n_buckets: int = 64,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is not in ``seen``.
@@ -97,22 +89,46 @@ def filter_unseen(
     candidates must carry url_hash (xxhash64 of canonical url). With a
     bloom, definitely-new rows bypass the exact join; maybe-seen rows are
     settled by left_anti (never dropped on bloom evidence alone).
+
+    The bitmaps travel as ONE torrent-broadcast dict to the Python
+    workers; joining them as a column would duplicate each 128 KiB bitmap
+    onto every candidate row through Arrow (GBs of serialization for
+    thousands of rows — measured, not hypothetical). Beyond broadcastable
+    total size (~1 GiB), shard instead: co-partition candidates and bloom
+    on bucket and test per group (applyInPandas cogroup) — same contract,
+    no node-resident copy.
     """
     if bloom is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
-    cand = candidates.withColumn(
-        "_bucket", F.pmod("url_hash", F.lit(n_buckets)).cast("int")
-    )
-    withmap = cand.join(
-        F.broadcast(bloom.withColumnRenamed("bucket", "_bucket")), "_bucket", "left"
-    )
-    withmap = withmap.withColumn(
-        "_maybe",
-        F.when(F.col("bitmap").isNull(), F.lit(False)).otherwise(
-            _maybe_contains("url_hash", "bitmap")
-        ),
-    ).drop("bitmap")
-    definitely_new = withmap.filter(~F.col("_maybe")).drop("_maybe", "_bucket")
-    maybe = withmap.filter(F.col("_maybe")).drop("_maybe", "_bucket")
+
+    spark = candidates.sparkSession
+    bitmaps = bloom if isinstance(bloom, dict) else {
+        r["bucket"]: r["bitmap"] for r in bloom.collect()
+    }
+    bc = spark.sparkContext.broadcast(bitmaps)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_contains(url_hash: pd.Series) -> pd.Series:
+        maps = bc.value
+        h = url_hash.to_numpy()
+        # floor-mod matches Spark's pmod on signed hashes
+        buckets = np.mod(np.mod(h, n_buckets) + n_buckets, n_buckets).astype(np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        for bkt in np.unique(buckets):
+            raw = maps.get(int(bkt))
+            if raw is None:
+                continue  # bucket never seen -> definitely new
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            m_bits = len(buf) * 8
+            rows = np.nonzero(buckets == bkt)[0]
+            hit = np.ones(len(rows), dtype=bool)
+            for idx in _indexes(h[rows], m_bits):
+                hit &= (buf[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
+            out[rows] = hit
+        return pd.Series(out)
+
+    cand = candidates.withColumn("_maybe", maybe_contains("url_hash"))
+    definitely_new = cand.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = cand.filter(F.col("_maybe")).drop("_maybe")
     settled = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
     return definitely_new.unionByName(settled)

@@ -26,12 +26,10 @@ from pyspark.sql import functions as F
 
 from ecc_spark.udfs import clean_text_udf, phrase_match_udf
 
-# reference util/wikipedia.py:66-71 namespace list (talk variants folded
-# into one alternation, as SURVEY.md OPS-8 recommends)
 NAMESPACE_RE = (
-    r"^(?:Talk|User|Wikipedia|File|MediaWiki|Template|Help|Category|Portal|"
-    r"Draft|TimedText|Module|Book|Education Program|Gadget|Gadget definition|"
-    r"Special|Media)(?: talk)?:"
+    # exact reference set (util/wikipedia.py:66-71): Talk: plus X:/X talk:
+    # — Special:/Media: are NOT in the reference list
+    '^(?:Talk:|(?:User|Wikipedia|File|MediaWiki|Template|Help|Category|Portal|Book|Draft|Education Program|TimedText|Module|Gadget|Gadget definition)(?: talk)?:)'
 )
 
 DEBUG_CONTEXT_PAD = 20  # reference cmd/build_matches_db.py:295-297

@@ -31,19 +31,31 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    builder = SparkSession.builder
+    if os.environ.get("SPARK_GRAFT_CLUSTER") != "1":
+        # local sandbox default; under spark-submit on a real cluster set
+        # SPARK_GRAFT_CLUSTER=1 so --master from the submit wins
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UDF-heavy engine: AQE coalesces post-shuffle partitions by BYTE
+        # size and cannot see per-row Python cost — the default 64 MB
+        # advisory funnels pandas-UDF stages into 1-2 tasks. 16 MB keeps
+        # them wide while still coalescing pathological tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big Arrow batches amortize the Python-worker round trip for the
         # pandas-UDF extraction stage (SURVEY.md §4 scaling bottleneck #1)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # shuffle/spill to tmpfs: local mode shares one disk, which
+        # otherwise becomes the non-scaling resource as parallelism grows
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

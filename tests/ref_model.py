@@ -17,9 +17,7 @@ from collections import defaultdict
 from ecc_spark import text as X
 
 NAMESPACE_RE = re.compile(
-    r"^(?:Talk|User|Wikipedia|File|MediaWiki|Template|Help|Category|Portal|"
-    r"Draft|TimedText|Module|Book|Education Program|Gadget|Gadget definition|"
-    r"Special|Media)(?: talk)?:"
+    '^(?:Talk:|(?:User|Wikipedia|File|MediaWiki|Template|Help|Category|Portal|Book|Draft|Education Program|TimedText|Module|Gadget|Gadget definition)(?: talk)?:)'
 )
 
 
