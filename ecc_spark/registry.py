@@ -11,7 +11,10 @@ def _modules():
     from ecc_spark.ops import analytics, relational
 
     mods = [relational, analytics]
-    for name in ("textops", "dedup", "similarity", "multimodal", "pipeline_ops", "crawl_ops"):
+    for name in (
+        "textops", "dedup", "similarity", "multimodal", "pipeline_ops",
+        "crawl_ops", "advanced",
+    ):
         try:
             mod = __import__(f"ecc_spark.ops.{name}", fromlist=[name])
             mods.append(mod)

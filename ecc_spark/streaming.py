@@ -49,6 +49,60 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def stateful_user_stats(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals + session count across micro-batches. State =
+    (n_events, total_value, last_ts_epoch, n_sessions); a new session
+    starts when the gap to the previous event exceeds ``gap_seconds``
+    (the streaming twin of ops.analytics.event_sessionize)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("n_sessions", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_ts", T.DoubleType()),
+            T.StructField("n_sessions", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last_ts, sessions = (
+            state.get if state.exists else (0, 0.0, float("-inf"), 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                epoch = ts.timestamp()
+                if epoch - last_ts > gap_seconds:
+                    sessions += 1
+                last_ts = epoch
+                n += 1
+                total += float(value)
+        state.update((n, total, last_ts, sessions))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_sessions": [sessions],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(agg: DataFrame, name: str, mode: str = "update") -> None:
     """Drive a streaming query to completion synchronously (tests/local)."""
     q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()

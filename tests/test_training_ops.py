@@ -73,6 +73,54 @@ def test_multimodal_features_deterministic_and_shaped(spark):
     assert all(r["ts_ms"] % 500 == 0 for r in fs)
 
 
+def test_stateful_stream_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState running totals: after the stream drains
+    (split into 2 micro-batches), latest per-user row equals the batch
+    groupBy, and session counts equal the batch sessionizer."""
+    import shutil
+
+    from ecc_spark.streaming import stateful_user_stats
+
+    srcdir = tmp_path / "ev_stateful"
+    srcdir.mkdir()
+    # two files → two micro-batches (state must carry across)
+    full = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts")
+    half = full.count() // 2
+    full.limit(half).coalesce(1).write.parquet(str(srcdir / "a"))
+    full.subtract(full.limit(half)).coalesce(1).write.parquet(str(srcdir / "b"))
+    flat = tmp_path / "ev_flat"
+    flat.mkdir()
+    i = 0
+    for sub in ("a", "b"):
+        for f in (srcdir / sub).glob("*.parquet"):
+            shutil.copy(f, flat / f"part-{i}.parquet")
+            i += 1
+
+    stream = read_event_stream(spark, str(flat), max_files=1)
+    out = stateful_user_stats(stream, gap_seconds=1800)
+    run_to_memory(out, "stateful_out", mode="update")
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) n, max(n_sessions) s FROM stateful_out GROUP BY user_id"
+    ).collect()
+    got_counts = {r["user_id"]: r["n"] for r in rows}
+    got_sessions = {r["user_id"]: r["s"] for r in rows}
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    want_counts = {r["user_id"]: r["n"] for r in batch.groupBy("user_id").agg(
+        F.count("*").alias("n")).collect()}
+    from ecc_spark.ops.analytics import event_sessionize
+
+    want_sessions = {
+        r["user_id"]: r["s"]
+        for r in event_sessionize(spark, SF)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("s"))
+        .collect()
+    }
+    assert got_counts == want_counts
+    assert got_sessions == want_sessions
+
+
 def test_stream_batch_parity(spark, tmp_path):
     """Streaming windowed agg == batch equivalent on the same files."""
     import shutil
