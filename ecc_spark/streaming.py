@@ -79,9 +79,11 @@ def stateful_user_stats(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame
         n, total, last_ts, sessions = (
             state.get if state.exists else (0, 0.0, float("-inf"), 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            # sort the WHOLE micro-batch — a key's rows can span Arrow chunks
+            batch = batch.sort_values("ts")
+            for ts, value in zip(batch["ts"], batch["value"]):
                 epoch = ts.timestamp()
                 if epoch - last_ts > gap_seconds:
                     sessions += 1

@@ -81,19 +81,25 @@ def test_stateful_stream_sessions_match_batch(spark, tmp_path):
 
     from ecc_spark.streaming import stateful_user_stats
 
+    import os
+
     srcdir = tmp_path / "ev_stateful"
     srcdir.mkdir()
-    # two files → two micro-batches (state must carry across)
-    full = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts")
-    half = full.count() // 2
-    full.limit(half).coalesce(1).write.parquet(str(srcdir / "a"))
-    full.subtract(full.limit(half)).coalesce(1).write.parquet(str(srcdir / "b"))
+    # two files → two micro-batches (state must carry across); split on a
+    # ts cutoff (deterministic — limit/subtract re-evaluation is not) and
+    # force file order via mtimes (FileStreamSource batches by mod time)
+    full = spark.read.parquet(f"{SF}/events.parquet")
+    cutoff = full.approxQuantile("event_id", [0.5], 0.0)[0]
+    full.filter(F.col("event_id") <= cutoff).coalesce(1).write.parquet(str(srcdir / "a"))
+    full.filter(F.col("event_id") > cutoff).coalesce(1).write.parquet(str(srcdir / "b"))
     flat = tmp_path / "ev_flat"
     flat.mkdir()
     i = 0
     for sub in ("a", "b"):
         for f in (srcdir / sub).glob("*.parquet"):
-            shutil.copy(f, flat / f"part-{i}.parquet")
+            dst = flat / f"part-{i}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
             i += 1
 
     stream = read_event_stream(spark, str(flat), max_files=1)
