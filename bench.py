@@ -42,6 +42,9 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "context_window_join",
+    "asof_join",
+    "event_percentiles",
+    "bucketed_join",
     "build_contexts_pipeline",
 ]
 

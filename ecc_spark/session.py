@@ -56,6 +56,7 @@ def get_spark(
         # shuffle/spill to tmpfs: local mode shares one disk, which
         # otherwise becomes the non-scaling resource as parallelism grows
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        .config("spark.sql.warehouse.dir", "/dev/shm/spark-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
