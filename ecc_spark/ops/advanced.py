@@ -72,6 +72,9 @@ FROM events GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-
 
 
 def event_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # date_trunc/date_format are session-TZ-dependent; the DuckDB oracle
+    # is naive-UTC — pin it regardless of the caller's session default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load(spark, sf, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )

@@ -110,6 +110,9 @@ FROM events GROUP BY 1, 2
 
 @_q("event_windowed_agg", _WIN_ORACLE)
 def event_windowed_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # date_trunc/date_format are session-TZ-dependent; the DuckDB oracle
+    # is naive-UTC — pin it regardless of the caller's session default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load(spark, sf, "events")
     return (
         e.groupBy(
