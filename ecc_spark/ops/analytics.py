@@ -130,8 +130,8 @@ def event_windowed_agg(spark: SparkSession, sf: str) -> DataFrame:
 _SESS_ORACLE = """
 SELECT user_id, event_id, session_id FROM (
   SELECT user_id, event_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, event_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

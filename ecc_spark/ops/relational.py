@@ -194,7 +194,7 @@ def distinct_entities(spark: SparkSession, sf: str) -> DataFrame:
 # --- OPS-21/22: stats aggregate (reference cmd/build_matches_db.py:305-315) ---
 @_q(
     "page_stats_agg",
-    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
     "max(n_chars) AS max_chars, min(n_chars) AS min_chars, "
     "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang",
 )

@@ -82,11 +82,24 @@ def main() -> int:
             cur = con.execute(oracles[key])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            # The external driver converts via pandas, where DuckDB HUGEINT
+            # (un-cast integer SUMs) becomes float64 while Spark emits int64 —
+            # invisible to fetchall() but a hash mismatch for the driver.
+            # Compare pandas dtype *kinds* per column to catch that class.
+            opdf = con.execute(oracles[key]).df()
+            spdf = sdf.toPandas()
+            dtype_problems = []
+            for c in sorted(set(spdf.columns) & set(opdf.columns)):
+                sk, ok_ = spdf[c].dtype.kind, opdf[c].dtype.kind
+                snum = sk in "iuf"
+                onum = ok_ in "iuf"
+                if snum != onum or (snum and (sk == "f") != (ok_ == "f")):
+                    dtype_problems.append(f"dtype-kind {c}: spark={sk} oracle={ok_}")
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {key}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
             continue
-        problems = []
+        problems = list(dtype_problems)
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
