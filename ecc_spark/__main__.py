@@ -51,6 +51,36 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_ingest_xml(args) -> int:
+    """Real dump front door (reference util/wikipedia.py:17-77): XML →
+    documents parquet (doc_id, redirect, spans, hidden_links, doc_seq),
+    printing the reference's scan counters."""
+    from ecc_spark.ingest import ingest_markup
+    from ecc_spark.session import get_spark
+    from ecc_spark.wiki_xml import read_wikipedia_xml, scan_stats, wikipedia_pages
+
+    if not os.path.isfile(args.wiki_xml):
+        print("Wikipedia XML not found")
+        return 2
+    if not _check_overwrite(args.out_parquet, args.overwrite, "Documents parquet"):
+        return 2
+    spark = get_spark("ecc_ingest_xml")
+    raw = read_wikipedia_xml(spark, args.wiki_xml, limit_pages=args.limit_pages)
+    ingest_markup(wikipedia_pages(raw)).write.mode(
+        "overwrite" if args.overwrite else "errorifexists"
+    ).parquet(args.out_parquet)
+    st = scan_stats(raw)
+    # reference cmd/build_matches_db.py:183-186 + util/wikipedia.py counters
+    print()
+    print("Stats")
+    print(f"\tMissing titles: {st.missing_titles}")
+    print(f"\tMissing texts: {st.missing_texts}")
+    print(f"\tSkipped special pages: {st.skipped_special_pages}")
+    print()
+    print(f"ingested {st.kept} pages -> {args.out_parquet}")
+    return 0
+
+
 def cmd_build_matches(args) -> int:
     from ecc_spark.dao import MatchesStore, load_entities_json, seeds_df
     from ecc_spark.matches import build_matches
@@ -163,6 +193,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit-pages", type=int, default=None)
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=cmd_ingest)
+
+    p = subs.add_parser("ingest-xml", formatter_class=_formatter, parents=[common])
+    p.add_argument("wiki_xml", metavar="wiki-xml")
+    p.add_argument("out_parquet", metavar="out-parquet")
+    p.add_argument("--limit-pages", type=int, default=None)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(func=cmd_ingest_xml)
 
     p = subs.add_parser("build-matches-db", formatter_class=_formatter, parents=[common])
     p.add_argument("docs_parquet", metavar="docs-parquet")

@@ -95,6 +95,18 @@ def build_matches(
         F.col("l.text").alias("mention"),  # anchor text (ref :261 — falls back
         F.col("l.media_ref").alias("target"),  # to target; ingest guarantees text)
     )
+    has_hidden = "hidden_links" in documents.columns
+    if has_hidden:
+        # links inside templates/refs feed the mention map but never the
+        # plain text — reference cmd/build_matches_db.py:251-266 collects
+        # wikilinks from the WHOLE AST while plain_text() excludes them
+        links = links.unionByName(
+            docs.select("doc_id", F.explode("hidden_links").alias("l")).select(
+                "doc_id",
+                F.col("l.text").alias("mention"),
+                F.col("l.media_ref").alias("target"),
+            )
+        )
 
     # OPS-13: probe side may be 10^10 links; build side is the seed list
     entity_links = links.join(F.broadcast(t2m), links.target == t2m.title, "inner")
@@ -125,7 +137,15 @@ def build_matches(
         .withColumn("m2m", F.coalesce("m2m", F.map_from_arrays(F.array(), F.array())))
         .withColumn("entity_link_count", F.coalesce("entity_link_count", F.lit(0)))
         .withColumn("mention_count", F.coalesce("mention_count", F.lit(0)))
-        .withColumn("link_count", F.size(F.filter("spans", lambda s: s.kind == F.lit("link"))))
+        .withColumn(
+            "link_count",
+            F.size(F.filter("spans", lambda s: s.kind == F.lit("link")))
+            + (
+                F.coalesce(F.size("hidden_links"), F.lit(0))
+                if has_hidden
+                else F.lit(0)
+            ),
+        )
         .withColumn("page_text", plain_text_col("spans"))
         .withColumn("clean_text", clean_text_udf("page_text"))
         .withColumn("patterns", F.map_keys("m2m"))

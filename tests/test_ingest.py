@@ -5,7 +5,7 @@ checked pure-Python (parse_markup) and through the Spark UDF path.
 """
 
 from ecc_spark import gen
-from ecc_spark.ingest import ingest_markup, parse_markup
+from ecc_spark.ingest import ingest_markup, parse_markup, parse_wikitext
 
 
 def _key(spans):
@@ -41,6 +41,81 @@ def test_parse_markup_forms():
     for s in spans:
         if s["kind"] == "link":
             assert plain[s["offset"] : s["offset"] + len(s["text"])] == s["text"]
+
+
+def _plain(spans):
+    return "".join(s["text"] for s in spans if s["kind"] != "media")
+
+
+class TestRealWikitextGrammar:
+    """Per-construct goldens for the v2 grammar — the pieces
+    wikitextparser's plain_text() removes (cmd/build_matches_db.py:248-252,277)."""
+
+    def test_comment_removed_even_unterminated(self):
+        assert _plain(parse_markup("a<!-- hidden [[X]] -->b")) == "ab"
+        assert _plain(parse_markup("a<!-- runs off the end")) == "a"
+
+    def test_ref_removed_and_links_surface_as_hidden(self):
+        spans, hidden = parse_wikitext('a<ref>cite [[Rome|city]]</ref>b<ref name="x"/>c')
+        assert _plain(spans) == "abc"
+        assert hidden == [{"text": "city", "media_ref": "Rome"}]
+
+    def test_template_nested_removed(self):
+        spans, hidden = parse_wikitext("a{{cite|x={{deep|[[Paris]]}}}}b")
+        assert _plain(spans) == "ab"
+        assert hidden == [{"text": "Paris", "media_ref": "Paris"}]
+
+    def test_template_with_empty_param_edge(self):
+        # '{{x|}}' — the '|}' must NOT be lexed as a table closer
+        assert _plain(parse_markup("a{{x|}}b rest")) == "ab rest"
+
+    def test_table_removed(self):
+        spans, hidden = parse_wikitext("a\n{|\n|-\n| [[L]] || y\n|}\nb")
+        assert _plain(spans) == "a\n\nb"
+        assert hidden == [{"text": "L", "media_ref": "L"}]
+
+    def test_unterminated_template_hides_to_eof(self):
+        assert _plain(parse_markup("keep {{runaway rest of doc")) == "keep "
+
+    def test_heading_markup_stripped_text_kept(self):
+        assert _plain(parse_markup("== History ==\nBody")) == "History\nBody"
+        assert _plain(parse_markup("=== Deep ===\nx")) == "Deep\nx"
+
+    def test_quotes_stripped(self):
+        assert _plain(parse_markup("'''''b+i''''' '''b''' ''i''")) == "b+i b i"
+
+    def test_external_link_label_kept_bare_removed(self):
+        assert _plain(parse_markup("see [http://x.org/a the site] or [http://y.org]")) == (
+            "see the site or "
+        )
+
+    def test_html_tag_markup_stripped_content_kept(self):
+        assert _plain(parse_markup("a <small>tiny</small> b<br/>c")) == "a tiny bc"
+
+    def test_magic_words_removed(self):
+        assert _plain(parse_markup("__NOTOC__a__TOC__b")) == "ab"
+
+    def test_image_prefix_is_media(self):
+        spans = parse_markup("x [[Image:pic.jpg|thumb|cap]] y")
+        assert _key(spans) == [("text", "x ", ""), ("media", "", "pic.jpg"), ("text", " y", "")]
+
+    def test_file_caption_link_nesting(self):
+        spans, hidden = parse_wikitext("p [[File:a.jpg|thumb|A [[cat|feline]] pic]] q")
+        assert _key(spans) == [("text", "p ", ""), ("media", "", "a.jpg"), ("text", " q", "")]
+        assert hidden == [{"text": "feline", "media_ref": "cat"}]
+
+    def test_section_anchor_target_kept_whole(self):
+        # reference looks up wtp's full title (incl. '#section') in the
+        # seed map — keep the raw target so the lookup semantics match
+        spans = parse_markup("[[Foo#Bar|x]]")
+        assert _key(spans) == [("link", "x", "Foo#Bar")]
+
+    def test_offsets_index_plain_text_with_cosmetics(self):
+        spans, _ = parse_wikitext("'''B''' {{t}} [[A|a]] <ref>r</ref>[[C]]")
+        plain = _plain(spans)
+        for s in spans:
+            if s["kind"] in ("text", "link"):
+                assert plain[s["offset"] : s["offset"] + len(s["text"])] == s["text"]
 
 
 def test_ingest_udf_matches_golden(spark):

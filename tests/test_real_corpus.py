@@ -1,0 +1,195 @@
+"""End-to-end on the reference's bundled REAL corpus.
+
+The reference ships a 100-page en-wiki dump + 1,000 entities + 17,050-row
+id map (tests/integration/data/README.md:3-6) and its integration suite
+runs the real CLI on them asserting non-empty outputs
+(tests/integration/test_suite.py:30-50,76-117). This module re-targets
+those assertions at the Spark engine AND tightens them:
+
+- scan counters equal an INDEPENDENT sequential stdlib-iterparse mimic of
+  util/wikipedia.py (two different code paths must agree);
+- dump order is preserved by the distributed lineSep reader;
+- the --limit-pages pre-filter quirk (util/wikipedia.py:41-43);
+- real-wikitext parse leaves no template/ref/table junk in plain text and
+  keeps the span offset invariant on real pages;
+- phase 1 + phase 2 produce non-empty tables plus value-level goldens
+  (a known match span and a known masked context).
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from ecc_spark.dao import load_entities_json, load_mid2rid_txt, seeds_df
+from ecc_spark.ingest import ingest_markup
+from ecc_spark.matches import build_matches
+from ecc_spark.wiki_xml import (
+    NAMESPACE_PREFIXES,
+    read_wikipedia_xml,
+    scan_stats,
+    wikipedia_pages,
+)
+
+DATA = "/root/reference/tests/integration/data"
+XML = f"{DATA}/wikipedia.xml"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(XML), reason="reference corpus not present"
+)
+
+
+def _sequential_reference_scan():
+    """Independent ground truth: sequential stdlib iterparse with the
+    reference's exact semantics (util/wikipedia.py:49-77)."""
+    stats = {"raw": 0, "missing_titles": 0, "missing_texts": 0, "skipped": 0}
+    kept = []
+    for _, elem in ET.iterparse(XML, events=("end",)):
+        if elem.tag.rsplit("}", 1)[-1] != "page":
+            continue
+        stats["raw"] += 1
+        ns = elem.tag[: -len("page")]
+        t = elem.find(f"{ns}title")
+        title = t.text if t is not None and t.text else None
+        if title is None:
+            stats["missing_titles"] += 1
+            elem.clear()
+            continue
+        tx = elem.find(f"{ns}revision/{ns}text")
+        text = tx.text if tx is not None and tx.text else None
+        if text is None:
+            stats["missing_texts"] += 1
+            elem.clear()
+            continue
+        if title.startswith(NAMESPACE_PREFIXES):
+            stats["skipped"] += 1
+            elem.clear()
+            continue
+        kept.append(title)
+        elem.clear()
+    return stats, kept
+
+
+@pytest.fixture(scope="module")
+def ground_truth():
+    return _sequential_reference_scan()
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return read_wikipedia_xml(spark, XML)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, raw):
+    return ingest_markup(wikipedia_pages(raw)).cache()
+
+
+def test_scan_counters_match_sequential_reference(raw, ground_truth):
+    gt, _ = ground_truth
+    st = scan_stats(raw)
+    assert st.raw_pages == gt["raw"] == 102
+    assert st.missing_titles == gt["missing_titles"]
+    assert st.missing_texts == gt["missing_texts"]
+    assert st.skipped_special_pages == gt["skipped"]
+    assert st.kept == gt["raw"] - gt["missing_titles"] - gt["missing_texts"] - gt["skipped"]
+
+
+def test_dump_order_preserved(raw, ground_truth):
+    _, kept_titles = ground_truth
+    got = [
+        r["doc_id"]
+        for r in wikipedia_pages(raw).orderBy("doc_seq").select("doc_id").collect()
+    ]
+    assert got == kept_titles
+
+
+def test_limit_pages_prefilter_quirk(spark):
+    # util/wikipedia.py:41-43: the counter counts RAW <page> elements,
+    # before the title/text/namespace checks
+    lim = read_wikipedia_xml(spark, XML, limit_pages=10)
+    assert lim.count() == 10
+    # limit 0 is falsy → unlimited (reference `if self.limit_pages and …`)
+    assert read_wikipedia_xml(spark, XML, limit_pages=0).count() == 102
+
+
+def test_real_page_spans_are_clean_and_offset_correct(docs):
+    an = docs.filter("doc_id = 'Anarchism'").first()
+    plain = "".join(s["text"] for s in an["spans"] if s["kind"] != "media")
+    # no construct junk survives into plain text
+    for junk in ("{{", "{|", "<ref", "-->", "'''"):
+        assert junk not in plain, junk
+    # offset invariant on a real page: every span indexes the plain text
+    for s in an["spans"]:
+        if s["kind"] in ("text", "link"):
+            assert plain[s["offset"] : s["offset"] + len(s["text"])] == s["text"]
+    # template/ref-nested links surface as hidden links for the mention map
+    assert len(an["hidden_links"]) > 0
+    assert len([s for s in an["spans"] if s["kind"] == "link"]) > 100
+
+
+@pytest.fixture(scope="module")
+def phase1(spark, docs):
+    seeds = seeds_df(spark, load_entities_json(f"{DATA}/entities.json"))
+    pages, matches, mentions = build_matches(docs, seeds)
+    return pages.cache(), matches.cache(), mentions.cache()
+
+
+def test_phase1_real_corpus_nonempty(phase1):
+    # the reference integration suite's assertion shape
+    # (tests/integration/test_suite.py:119-129): all three tables > 0
+    pages, matches, mentions = phase1
+    assert pages.count() == 102
+    # 36 matches / 15 mentions on this corpus+seed sample as of the v2
+    # grammar — only ~31 of the 102 pages are articles (71 redirects) and
+    # few of their links hit the 1,000-entity sample; the reference's own
+    # integration suite asserts only > 0
+    assert matches.count() > 20
+    assert mentions.count() > 5
+
+
+def test_phase1_known_match_golden(phase1):
+    # value-level pin: 'English' (Q1860) occurs in the ASCII article; the
+    # ±20-char debug context brackets the span (cmd/build_matches_db.py:295-297)
+    _, matches, _ = phase1
+    row = (
+        matches.filter("page = 'ASCII' AND mention = 'English'")
+        .orderBy("start_char")
+        .first()
+    )
+    assert row is not None
+    assert row["end_char"] - row["start_char"] == len("English")
+    assert "English" in row["context"]
+    assert row["context"].find("English") <= 20
+
+
+def test_phase2_real_corpus_end_to_end(spark, phase1):
+    from ecc_spark.contexts import build_contexts
+
+    pages, matches, mentions = phase1
+    entities = load_entities_json(f"{DATA}/entities.json")
+    mid2rid = load_mid2rid_txt(f"{DATA}/irt-ids.txt")
+    ctx = build_contexts(
+        spark,
+        matches,
+        pages,
+        mentions,
+        [(e["mid"], e["label"], e["wikipedia"]) for e in entities],
+        mid2rid,
+        context_size=500,
+        crop_sentences=True,
+        limit_contexts=100,
+        random_seed="0",
+        sample_mode="hash",
+    ).cache()
+    assert ctx.count() > 0
+    # masking golden: every masked context has '#' runs and none of the
+    # masked mention text (cmd/build_contexts_db.py:303-354)
+    sample = ctx.limit(50).collect()
+    assert all("#" in r["masked_context"] for r in sample)
+    english = ctx.filter("entity_label = 'English' AND page_title = 'ASCII'").first()
+    assert english is not None
+    assert "#######" in english["masked_context"]
+    assert "English alphabet" not in english["masked_context"]
