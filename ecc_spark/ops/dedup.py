@@ -40,12 +40,25 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-_NGRAM_ORACLE = """
-WITH sh AS (
+# Document-frequency cap for the shingle self-join. A stopword shingle in
+# 10^6 docs creates 10^12 pairs in ONE key — genuinely quadratic, beyond
+# what AQE skew-split can fix. Shingles with df > cap carry ~no Jaccard
+# signal (they're corpus boilerplate), so the capped Jaccard is computed
+# over the capped shingle UNIVERSE: sizes and intersections both exclude
+# them, keeping the measure a true Jaccard on the filtered set. The cap
+# bounds per-key pair fan-out at cap²; testdata max df is far below it,
+# so the sf0.01 oracle is value-identical to the uncapped query.
+SHINGLE_DF_CAP = 1000
+
+_NGRAM_ORACLE = f"""
+WITH sh0 AS (
   SELECT doc_id, sh FROM (
     SELECT doc_id, unnest(list_distinct([array_to_string(w[i+1:i+3], ' ')
                    for i in generate_series(0, len(w) - 3)])) AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3))
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (
+    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > {SHINGLE_DF_CAP})
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -60,13 +73,18 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup via word-3-gram Jaccard: distinct shingles → self-join on
-    shingle → pair-count → |A∩B| / (|A|+|B|−|A∩B|). The shingle join is the
-    shuffle; hot shingles (stopword runs) are the skew risk — AQE skew-join
-    handles it, and real deployments drop top-frequency shingles first."""
-    d = load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
-    d = d.filter(F.size("w") >= 3)
+def ngram_jaccard_pairs(
+    documents: DataFrame, df_cap: int = SHINGLE_DF_CAP, threshold: float = 0.2
+) -> DataFrame:
+    """Near-dup via word-3-gram Jaccard over a DF-capped shingle universe.
+
+    Plan shape: shingle explode → df aggregate (partial+final, map-side
+    combined) → the tiny hot-shingle set (df > cap) removed with a
+    BROADCAST anti-join (no extra shuffle of the big side) → self-join on
+    shingle → pair-count → |A∩B| / (|A|+|B|−|A∩B|). Per-shingle pair
+    fan-out is bounded by cap², so the join stays near-linear at 100 TB;
+    residual within-cap skew is AQE's job."""
+    d = documents.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 3)
     sh = d.select(
         "doc_id",
         F.explode(
@@ -78,6 +96,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("sh"),
     )
+    hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap)
+    sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -96,9 +116,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.col("common").cast("double")
             / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
         )
-        .filter(F.col("jac") >= 0.2)
+        .filter(F.col("jac") >= threshold)
     )
     return j.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------
