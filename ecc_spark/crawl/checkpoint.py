@@ -100,6 +100,25 @@ class SnapshotTable:
         ids = [s["id"] for s in self._manifest()["snapshots"] if s["wave"] <= wave]
         return max(ids) if ids else None
 
+    def trim_to_wave(self, wave: int | None) -> int:
+        """Drop snapshots committed for waves AFTER ``wave`` (resume
+        reconciliation): a crash between this table's commit and the
+        wave's final commit point leaves an orphaned delta here; replaying
+        the wave would then double-count it. Returns #snapshots dropped.
+        ``wave=None`` (no commit point at all) drops everything."""
+        man = self._manifest()
+        keep = [s for s in man["snapshots"] if wave is not None and s["wave"] <= wave]
+        dropped = len(man["snapshots"]) - len(keep)
+        if not dropped:
+            return 0
+        man["snapshots"] = keep
+        man["latest"] = max((s["id"] for s in keep), default=None)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, self.manifest_path)
+        return dropped
+
 
 def try_iceberg(spark: SparkSession, table: str):
     """Return a real Iceberg table handle when the runtime is present."""

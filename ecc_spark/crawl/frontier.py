@@ -17,14 +17,26 @@ rely on task order); equality vs the pure-Python reference crawler is
 asserted on the (order_key → url) sequence and the final seen set.
 
 Deferred URLs (over budget) stay queued — politeness defers, never drops.
-Resume: ``CrawlEngine(..., resume=True)`` reads the latest committed
-snapshots and continues at the next wave; a crash between snapshot write
-and manifest replace leaves the previous wave authoritative (the manifest
-update is the commit point).
+
+Crash safety: the FRONTIER manifest is the wave's single commit point.
+Within a wave the order is seen-delta → bloom-delta → run_log → frontier;
+on resume, deltas whose wave exceeds the frontier's latest wave are
+orphans from a mid-commit crash and are trimmed before continuing
+(``SnapshotTable.trim_to_wave``), so replaying the wave cannot
+double-count a seen delta or shift the order_key base.
+
+Fault tolerance on a real cluster: the wave loop holds NO local
+checkpoints — every job recomputes from committed snapshots on disk.
+The crawl order_key is derived from VALUES (priority is uniform in
+[0,1), so ``floor(priority·P)`` is a deterministic range bucket; the key
+is bucket-offset + rank within bucket), never from physical partition
+ids, so an executor loss mid-wave recomputes the identical order at any
+parallelism.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -32,6 +44,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ecc_spark.crawl.canonical import canonicalize_cols
 from ecc_spark.crawl.checkpoint import SnapshotTable
@@ -89,22 +102,40 @@ class CrawlEngine:
         max_depth: int = 3,
         use_bloom: bool = True,
         bloom_buckets: int = 64,
+        bloom_bits: int = 1 << 20,
+        bloom_broadcast_cap: int = 1 << 30,
         resume: bool = False,
     ):
         self.spark = spark
+        self.workdir = workdir
         self.robots = robots
         self.host_budget = host_budget
         self.n_salts = n_salts
         self.max_depth = max_depth
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
+        self.bloom_bits = bloom_bits
+        # path selection BY SIZE: the whole filter is bloom_buckets×m/8
+        # bytes by construction; beyond the broadcast cap it must never be
+        # driver/node-resident → sharded cogroup over a delta table
+        self.bloom_sharded = (
+            use_bloom and bloom_buckets * (bloom_bits // 8) > bloom_broadcast_cap
+        )
         self.t_frontier = SnapshotTable(spark, workdir, "frontier")
         # seen and run_log are append-only → delta snapshots (O(wave) commits)
         self.t_seen = SnapshotTable(spark, workdir, "seen", append=True)
         self.t_runlog = SnapshotTable(spark, workdir, "run_log", append=True)
-        self._bloom = None  # incremental, in-memory across waves; rebuilt on resume
+        self.t_bloom = SnapshotTable(spark, workdir, "bloom", append=True)
+        self._bloom = None  # broadcast mode: dict, rebuilt on resume
+        self._bloom_bc = None  # live Broadcast handle (unpersisted per wave)
         if resume:
             lw = self.t_frontier.latest_wave()
+            # reconcile: the frontier manifest is the commit point; deltas
+            # past it are orphans from a crash mid-commit — trim them so
+            # the replayed wave cannot double-count
+            self.t_seen.trim_to_wave(lw)
+            self.t_runlog.trim_to_wave(lw)
+            self.t_bloom.trim_to_wave(lw)
             self.next_wave = 0 if lw is None else lw + 1
             self._seen_count = self.t_seen.latest_rows() or 0
         else:
@@ -140,40 +171,59 @@ class CrawlEngine:
             .withColumn("wave", F.lit(0))
             .withColumn("state", F.lit("queued"))
         )
-        self.t_frontier.commit(front, wave=-1)
+        # same commit discipline as run_wave: frontier manifest last
         self.t_seen.commit(self._empty_seen(), wave=-1, rows=0)
+        self.t_frontier.commit(front, wave=-1)
         self.next_wave = 0
         self._seen_count = 0
         self._bloom = None
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist()
+            self._bloom_bc = None
 
     def _order_and_fetch(self, scheduled: DataFrame, base: int) -> DataFrame:
-        """Crawl-order assignment + fetch + extract in one mapInPandas pass.
+        """Crawl-order assignment + fetch + extract.
 
-        Range-partition by (priority, url) with an EXPLICIT partition count
-        (AQE would coalesce by byte size and starve the Python stage — see
-        politeness.attach_order_key), pin the partitioning (the offsets
-        job and the fetch job must agree), compute per-partition offsets,
-        then a single Python crossing does: partition-local rank + offset
-        → order_key; simulate_fetch + parse → outlinks, n_spans."""
+        The order_key is derived from VALUES, not physical partitions:
+        priority = crc32(url)/2^32 is uniform in [0,1), so
+        ``floor(priority·P)`` is a deterministic, skew-free range bucket.
+        order_key = bucket offset (one tiny counts job, prefix-summed on
+        the driver, joined back via broadcast) + rank within bucket
+        (window on the bucket — parallel, uniform). Unlike a pinned
+        zipWithIndex, every job here recomputes identically from the
+        frontier snapshot on disk — no localCheckpoint, so an executor
+        loss mid-wave recomputes instead of killing the run, and the
+        order is identical at any parallelism.
+
+        Fetch+extract then runs in one mapInPandas over an EXPLICIT
+        ``repartition(P)`` (AQE coalesces shuffles by byte size and
+        cannot see per-row Python cost — it would starve the stage)."""
         import pandas as pd
 
         spark = self.spark
         npart = spark.sparkContext.defaultParallelism * 2
-        ranged = (
-            scheduled.repartitionByRange(npart, "priority", "url")
-            .sortWithinPartitions("priority", "url")
-            .localCheckpoint(eager=True)
-            .withColumn("_pid", F.spark_partition_id())
-        )
+        bucket = F.least(F.floor(F.col("priority") * npart), F.lit(npart - 1)).cast("int")
+        bucketed = scheduled.withColumn("_b", bucket)
         counts = {
-            r["_pid"]: r["n"]
-            for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+            r["_b"]: r["n"]
+            for r in bucketed.groupBy("_b").agg(F.count("*").alias("n")).collect()
         }
-        offsets: dict[int, int] = {}
+        offsets: list[tuple[int, int]] = []
         acc = base
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
+        for b in sorted(counts):
+            offsets.append((b, acc))
+            acc += counts[b]
+        offs_df = spark.createDataFrame(
+            offsets or [(0, base)], schema="_b int, _off long"
+        )
+        w = W.partitionBy("_b").orderBy("priority", "url")
+        ordered = (
+            bucketed.join(F.broadcast(offs_df), "_b", "left")
+            .withColumn(
+                "order_key", F.col("_off") + F.row_number().over(w) - F.lit(1)
+            )
+            .drop("_off")
+        )
 
         out_schema = (
             "url string, url_hash long, host string, priority double, "
@@ -184,13 +234,9 @@ class CrawlEngine:
             from ecc_spark.crawl.fetchsim import simulate_fetch
             from ecc_spark.ingest import parse_markup
 
-            local = 0
             for pdf in it:
                 if not len(pdf):
                     continue
-                pid = int(pdf["_pid"].iloc[0])
-                order = offsets.get(pid, base) + local + pd.RangeIndex(len(pdf))
-                local += len(pdf)
                 outlinks, nspans = [], []
                 for u in pdf["url"]:
                     spans = parse_markup(simulate_fetch(u))
@@ -205,13 +251,13 @@ class CrawlEngine:
                         "host": pdf["host"].to_numpy(),
                         "priority": pdf["priority"].to_numpy(),
                         "depth": pdf["depth"].to_numpy(),
-                        "order_key": order,
+                        "order_key": pdf["order_key"].to_numpy(),
                         "outlinks": outlinks,
                         "n_spans": nspans,
                     }
                 )
 
-        return ranged.mapInPandas(fused, schema=out_schema)
+        return ordered.repartition(npart, "_b").mapInPandas(fused, schema=out_schema)
 
     def run_wave(self) -> WaveMetrics:
         wave = self.next_wave
@@ -233,9 +279,15 @@ class CrawlEngine:
         # scheduled set crosses Arrow exactly once
         scheduled = schedule_budget(frontier, self.host_budget, self.n_salts)
         fetched = self._order_and_fetch(scheduled, base)
-        # one materialization: fetch runs exactly once, everything
-        # downstream (seen union, expansion, run_log) reads these partitions
-        fetched = fetched.localCheckpoint(eager=True)
+        # one materialization: fetch runs exactly once; it is pinned to
+        # the wave's snapshot directory (NOT localCheckpoint — local
+        # checkpoints are not fault-tolerant: an executor loss mid-wave
+        # would kill the job on a real cluster instead of recomputing).
+        # Everything downstream (seen delta, run_log, expansion) reads
+        # the disk copy.
+        fpath = os.path.join(self.workdir, "fetched", f"wave={wave}")
+        fetched.write.mode("overwrite").parquet(fpath)
+        fetched = self.spark.read.parquet(fpath)
         # per-salt lineage doubles as the wave stats — one job, collected
         # (≤ n_salts rows), written back without recompute
         runlog_rows = (
@@ -273,17 +325,29 @@ class CrawlEngine:
             (F.min("depth") + 1).alias("depth"),
         )
         bloom = None
-        if self.use_bloom:
-            # incremental, DRIVER-RESIDENT bloom: build over this wave's
-            # delta (full seen set once, on resume), collect the ~8 MB of
-            # bucket bitmaps, OR into the running dict. No per-wave merge
-            # job, no checkpoint — the dict is re-broadcast each wave.
-            # Beyond driver-resident size the sharded-cogroup path in
-            # seen.filter_unseen applies instead.
+        if self.use_bloom and self.bloom_sharded:
+            # SHARDED bloom (beyond broadcast size): per-wave delta
+            # bitmaps live in an append snapshot table; filter_unseen
+            # cogroups candidates with the bucket's delta rows and ORs
+            # them in place — the filter is never node-resident and no
+            # merge job ever runs. Committing the delta BEFORE the
+            # frontier commit keeps resume-trim consistent.
+            delta = build_bloom(
+                fetched.select("url_hash"), self.bloom_buckets, self.bloom_bits
+            )
+            self.t_bloom.commit(delta, wave=wave, rows=self.bloom_buckets)
+            bloom = self.t_bloom.read()  # unions deltas incl. this wave's
+        elif self.use_bloom:
+            # BROADCAST bloom (fits on a node): build over this wave's
+            # delta (full seen set once, on resume), collect the bucket
+            # bitmaps, OR into the running dict, re-broadcast. The
+            # previous wave's broadcast is unpersisted first — its jobs
+            # are complete (waves are synchronous), and without this the
+            # JVM leaks one bloom copy per wave over a long crawl.
             src = (
                 new_seen if (self._bloom is None and wave > 0) else fetched
             ).select("url_hash")
-            delta = build_bloom(src, self.bloom_buckets).collect()
+            delta = build_bloom(src, self.bloom_buckets, self.bloom_bits).collect()
             if self._bloom is None:
                 self._bloom = {}
             for r in delta:
@@ -293,7 +357,10 @@ class CrawlEngine:
                     arr.tobytes() if prev is None
                     else np.bitwise_or(np.frombuffer(prev, dtype=np.uint8), arr).tobytes()
                 )
-            bloom = self._bloom
+            if self._bloom_bc is not None:
+                self._bloom_bc.unpersist()
+            self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
+            bloom = self._bloom_bc
         cand = filter_unseen(cand, new_seen, bloom, self.bloom_buckets)
 
         remaining = frontier.join(fetched.select("url_hash"), "url_hash", "left_anti")
@@ -306,7 +373,11 @@ class CrawlEngine:
         t = mark("expand_plan", t)
 
         # commit (checkpoint granularity = wave; the reference committed per
-        # page, cmd/build_matches_db.py:179). Seen delta only — append table.
+        # page, cmd/build_matches_db.py:179). Order matters: seen delta and
+        # run_log first, FRONTIER LAST — its manifest is the wave's single
+        # commit point. A crash before it leaves orphan deltas that resume
+        # trims (trim_to_wave); a crash after it leaves a fully-committed
+        # wave. Seen delta only — append table.
         self.t_seen.commit(
             fetched.select("url_hash", "url", F.lit(wave).alias("wave"), "order_key"),
             wave=wave,
@@ -314,10 +385,6 @@ class CrawlEngine:
         )
         self._seen_count = base + n_scheduled
         t = mark("commit_seen", t)
-        self.t_frontier.commit(new_frontier, wave=wave)
-        new_frontier_rows = self.t_frontier.latest_rows() or 0
-        n_new = new_frontier_rows - (frontier_rows - n_scheduled)
-        t = mark("commit_frontier", t)
 
         snap_id = self.t_seen.latest_id() or 0
         runlog = self.spark.createDataFrame(
@@ -330,7 +397,12 @@ class CrawlEngine:
             "scheduled long, fetched long, extracted long",
         )
         self.t_runlog.commit(runlog, wave=wave, rows=len(runlog_rows))
-        mark("commit_runlog", t)
+        t = mark("commit_runlog", t)
+
+        self.t_frontier.commit(new_frontier, wave=wave)  # ← the commit point
+        new_frontier_rows = self.t_frontier.latest_rows() or 0
+        n_new = new_frontier_rows - (frontier_rows - n_scheduled)
+        mark("commit_frontier", t)
 
         self.next_wave = wave + 1
         return WaveMetrics(

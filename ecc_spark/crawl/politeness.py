@@ -50,7 +50,14 @@ def attach_order_key(
     The partition count is EXPLICIT: an implicit repartitionByRange gets
     AQE-coalesced by shuffle-byte size, which would funnel the downstream
     per-row fetch UDF (whose cost AQE cannot see) into one or two tasks —
-    measured 1x core utilization at any parallelism before this."""
+    measured 1x core utilization at any parallelism before this.
+
+    NOT on the wave path: the crawl loop derives order keys from VALUES
+    (frontier._order_and_fetch — priority is uniform, so floor(priority·P)
+    is a deterministic bucket) and needs no pin. This generic-sort-key
+    utility keeps the localCheckpoint pin because two executions of one
+    repartitionByRange plan can differ under AQE; use it driver-side, not
+    inside fault-critical loops."""
     import pandas as pd
 
     if num_partitions is None:

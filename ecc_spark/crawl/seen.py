@@ -78,10 +78,29 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def _membership(buf: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized 'maybe in bloom' test for hashes h against one bitmap."""
+    m_bits = len(buf) * 8
+    hit = np.ones(len(h), dtype=bool)
+    for idx in _indexes(h, m_bits):
+        hit &= (buf[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
+    return hit
+
+
+def _settle(candidates_flagged: DataFrame, seen: DataFrame) -> DataFrame:
+    """Split on the bloom verdict: definitely-new bypasses the join;
+    maybe-seen is settled by the exact left_anti (never dropped on bloom
+    evidence alone — the seen-set-equality contract)."""
+    definitely_new = candidates_flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = candidates_flagged.filter(F.col("_maybe")).drop("_maybe")
+    settled = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definitely_new.unionByName(settled)
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: DataFrame | dict | None = None,
+    bloom=None,
     n_buckets: int = 64,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is not in ``seen``.
@@ -90,22 +109,34 @@ def filter_unseen(
     bloom, definitely-new rows bypass the exact join; maybe-seen rows are
     settled by left_anti (never dropped on bloom evidence alone).
 
-    The bitmaps travel as ONE torrent-broadcast dict to the Python
-    workers; joining them as a column would duplicate each 128 KiB bitmap
-    onto every candidate row through Arrow (GBs of serialization for
-    thousands of rows — measured, not hypothetical). Beyond broadcastable
-    total size (~1 GiB), shard instead: co-partition candidates and bloom
-    on bucket and test per group (applyInPandas cogroup) — same contract,
-    no node-resident copy.
+    Two bloom transports, selected by the caller by TOTAL BITMAP SIZE
+    (the wave loop does this automatically, frontier.py):
+
+    - ``dict`` or ``pyspark.Broadcast`` of {bucket: bitmap} — the bitmaps
+      travel as ONE torrent-broadcast to the Python workers; joining them
+      as a column would duplicate each 128 KiB bitmap onto every
+      candidate row through Arrow (GBs of serialization for thousands of
+      rows — measured, not hypothetical). Right while the whole filter
+      fits on one node (~1 GiB).
+    - ``DataFrame(bucket int, bitmap binary)`` — the SHARDED path for
+      blooms beyond broadcast size (10^10 keys ≈ 12 GB at 1% fp):
+      candidates and bitmaps are co-partitioned on bucket and tested per
+      group via a cogrouped applyInPandas; no node ever holds the whole
+      filter, and multiple delta bitmaps per bucket are OR-ed in place,
+      so per-wave deltas need no merge job.
+
+    Callers that loop (the wave loop) should pass a Broadcast they manage
+    and ``unpersist()`` it after the wave — passing a raw dict creates a
+    fresh broadcast per call, which leaks over long crawls.
     """
     if bloom is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
 
+    if isinstance(bloom, DataFrame):
+        return _filter_unseen_sharded(candidates, seen, bloom, n_buckets)
+
     spark = candidates.sparkSession
-    bitmaps = bloom if isinstance(bloom, dict) else {
-        r["bucket"]: r["bitmap"] for r in bloom.collect()
-    }
-    bc = spark.sparkContext.broadcast(bitmaps)
+    bc = bloom if hasattr(bloom, "value") else spark.sparkContext.broadcast(bloom)
 
     @F.pandas_udf(T.BooleanType())
     def maybe_contains(url_hash: pd.Series) -> pd.Series:
@@ -118,17 +149,43 @@ def filter_unseen(
             raw = maps.get(int(bkt))
             if raw is None:
                 continue  # bucket never seen -> definitely new
-            buf = np.frombuffer(raw, dtype=np.uint8)
-            m_bits = len(buf) * 8
             rows = np.nonzero(buckets == bkt)[0]
-            hit = np.ones(len(rows), dtype=bool)
-            for idx in _indexes(h[rows], m_bits):
-                hit &= (buf[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
-            out[rows] = hit
+            out[rows] = _membership(np.frombuffer(raw, dtype=np.uint8), h[rows])
         return pd.Series(out)
 
-    cand = candidates.withColumn("_maybe", maybe_contains("url_hash"))
-    definitely_new = cand.filter(~F.col("_maybe")).drop("_maybe")
-    maybe = cand.filter(F.col("_maybe")).drop("_maybe")
-    settled = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
-    return definitely_new.unionByName(settled)
+    return _settle(candidates.withColumn("_maybe", maybe_contains("url_hash")), seen)
+
+
+def _filter_unseen_sharded(
+    candidates: DataFrame, seen: DataFrame, bloom: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Cogroup path: shuffle candidates AND bitmaps on bucket; each task
+    sees one bucket's candidates plus that bucket's bitmap rows only.
+    Arrow moves each bitmap once per task, not once per candidate row."""
+    cand = candidates.withColumn(
+        "_bucket", F.pmod("url_hash", F.lit(n_buckets)).cast("int")
+    )
+    out_fields = ", ".join(f"`{c[0]}` {c[1]}" for c in candidates.dtypes)
+    out_schema = f"{out_fields}, _maybe boolean"
+    drop_cols = ["_bucket"]
+
+    def test(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf):
+            return cpdf.drop(columns=drop_cols).assign(_maybe=pd.Series(dtype=bool))
+        h = cpdf["url_hash"].to_numpy()
+        if not len(bpdf):
+            maybe = np.zeros(len(h), dtype=bool)  # bucket never seen → all new
+        else:
+            acc = None  # OR multi-delta bitmaps for this bucket
+            for raw in bpdf["bitmap"]:
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+            maybe = _membership(acc, h)
+        return cpdf.drop(columns=drop_cols).assign(_maybe=maybe)
+
+    flagged = (
+        cand.groupBy("_bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(test, schema=out_schema)
+    )
+    return _settle(flagged, seen)
