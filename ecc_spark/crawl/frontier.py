@@ -257,7 +257,13 @@ class CrawlEngine:
                     }
                 )
 
-        return ordered.repartition(npart, "_b").mapInPandas(fused, schema=out_schema)
+        # repartition on url_hash, NOT _b: a repartition on _b with the
+        # same count as the window's exchange is optimizer-removed as
+        # redundant, leaving only an ENSURE_REQUIREMENTS exchange that AQE
+        # coalesces by byte size to 1-2 tasks — serializing the Python
+        # fetch stage (measured: 1 partition at any core count). A
+        # REPARTITION_BY_NUM on a different, uniform key survives both.
+        return ordered.repartition(npart, "url_hash").mapInPandas(fused, schema=out_schema)
 
     def run_wave(self) -> WaveMetrics:
         wave = self.next_wave

@@ -82,31 +82,52 @@ def _collect_links(hidden: str, sink: list[dict]) -> None:
         sink.append({"text": anchor if anchor else target, "media_ref": target})
 
 
+def _find_next(s: str, needles: tuple[str, ...], start: int) -> tuple[int, str | None]:
+    """Earliest occurrence of any needle at/after start — str.find jumps
+    (C-speed) instead of per-character Python stepping."""
+    best, which = -1, None
+    for nd in needles:
+        j = s.find(nd, start)
+        if j >= 0 and (best < 0 or j < best):
+            best, which = j, nd
+    return best, which
+
+
 def _strip_braces(s: str, sink: list[dict]) -> str:
     """Remove {{…}} / {|…|} regions with proper per-kind nesting (a '|}'
     never closes a '{{'). Unterminated opener hides to EOF, mirroring
     MediaWiki's render-nothing behavior for runaway templates."""
+    if "{{" not in s and "{|" not in s:
+        return s
     out: list[str] = []
     stack: list[str] = []
     vis_start = 0
     outer_start = 0
     i, n = 0, len(s)
-    while i < n - 1:
-        two = s[i : i + 2]
-        if two in ("{{", "{|"):
-            if not stack:
-                out.append(s[vis_start:i])
-                outer_start = i
-            stack.append(two)
-            i += 2
-        elif stack and two == ("}}" if stack[-1] == "{{" else "|}"):
-            stack.pop()
-            i += 2
-            if not stack:
-                _collect_links(s[outer_start:i], sink)
-                vis_start = i
+    while i < n:
+        if not stack:
+            j, tok = _find_next(s, ("{{", "{|"), i)
+            if j < 0:
+                break
+            out.append(s[vis_start:j])
+            outer_start = j
+            stack.append(tok)
+            i = j + 2
         else:
-            i += 1
+            closer = "}}" if stack[-1] == "{{" else "|}"
+            j, tok = _find_next(s, ("{{", "{|", closer), i)
+            if j < 0:
+                i = n  # runaway construct: hidden to EOF
+                break
+            if tok == closer:
+                stack.pop()
+                i = j + 2
+                if not stack:
+                    _collect_links(s[outer_start:i], sink)
+                    vis_start = i
+            else:
+                stack.append(tok)
+                i = j + 2
     if stack:
         _collect_links(s[outer_start:], sink)
     else:
@@ -157,20 +178,23 @@ def parse_wikitext(markup: str) -> tuple[list[dict], list[dict]]:
         j = s.find("[[", i)
         if j < 0:
             break
-        # find the matching ]] with nesting (file captions embed links)
+        # find the matching ]] with nesting (file captions embed links);
+        # str.find jumps — no per-character stepping
         k, depth = j + 2, 1
-        while k < n - 1:
-            two = s[k : k + 2]
-            if two == "[[":
+        while True:
+            nj, tok = _find_next(s, ("[[", "]]"), k)
+            if nj < 0:
+                depth = -1
+                break
+            if tok == "[[":
                 depth += 1
-                k += 2
-            elif two == "]]":
+                k = nj + 2
+            else:
                 depth -= 1
+                k = nj
                 if depth == 0:
                     break
-                k += 2
-            else:
-                k += 1
+                k = nj + 2
         if depth != 0:  # unmatched '[[' — literal text
             i = j + 2
             continue

@@ -23,8 +23,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ecc_spark.udfs import clean_text_udf, phrase_match_udf
+
+
+def _first_writer(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """PK dedup with the reference's INSERT OR IGNORE semantics
+    (dao/matches_db.py:53): the FIRST row in insertion order wins. When
+    the order columns exist, pick min-order per key via a window;
+    otherwise fall back to dropDuplicates (arbitrary winner — acceptable
+    only when keys are unique by construction, e.g. one dump = unique
+    titles)."""
+    if all(c in df.columns for c in order_cols):
+        w = W.partitionBy(*keys).orderBy(*order_cols)
+        return df.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+    return df.dropDuplicates(keys)
 
 NAMESPACE_RE = (
     # exact reference set (util/wikipedia.py:66-71): Talk: plus X:/X talk:
@@ -152,17 +168,22 @@ def build_matches(
         .withColumn("match_arr", phrase_match_udf("clean_text", "patterns"))
     )
 
-    pages = enriched.select(
-        F.col("doc_id").alias("title"),
-        F.col("clean_text").alias("text"),
-        "link_count",
-        "entity_link_count",
-        "mention_count",
-        F.size("patterns").alias("unique_mention_count"),
-        F.length("page_text").cast("int").alias("text_len"),
-        F.length("clean_text").cast("int").alias("clean_text_len"),
-        F.size("match_arr").alias("match_count"),
-    ).dropDuplicates(["title"])  # PK, first-writer-wins (ref dao/matches_db.py:42,53)
+    pages = _first_writer(
+        enriched.select(
+            F.col("doc_id").alias("title"),
+            *(["doc_seq"] if has_seq else []),
+            F.col("clean_text").alias("text"),
+            "link_count",
+            "entity_link_count",
+            "mention_count",
+            F.size("patterns").alias("unique_mention_count"),
+            F.length("page_text").cast("int").alias("text_len"),
+            F.length("clean_text").cast("int").alias("clean_text_len"),
+            F.size("match_arr").alias("match_count"),
+        ),
+        ["title"],  # PK, first-writer-wins in dump order (ref dao/matches_db.py:42,53)
+        ["doc_seq"],
+    ).drop(*(["doc_seq"] if has_seq else []))
 
     m = enriched.select(
         F.col("doc_id").alias("page"),
@@ -190,7 +211,11 @@ def build_matches(
         start.alias("start_char"),
         end.alias("end_char"),
         F.substring("clean_text", ctx_start0 + 1, ctx_end0 - ctx_start0).alias("context"),
-    ).dropDuplicates(["mid", "page", "start_char", "mention"])  # PK (ref :92)
+    )
+    # PK (ref :92), first writer = (dump order, match order) when carried
+    matches = _first_writer(
+        matches, ["mid", "page", "start_char", "mention"], ["doc_seq", "match_seq"]
+    )
 
     mentions = (
         enriched.select(F.explode("m2m").alias("mention", "entry"))

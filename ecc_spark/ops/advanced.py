@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import ensure_utc, load
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -72,9 +72,7 @@ FROM events GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-
 
 
 def event_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    # date_trunc/date_format are session-TZ-dependent; the DuckDB oracle
-    # is naive-UTC — pin it regardless of the caller's session default
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_utc(spark)  # driver-session guard; no-op on engine sessions
     e = load(spark, sf, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )

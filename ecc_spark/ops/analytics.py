@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import ensure_utc, load
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -110,9 +110,7 @@ FROM events GROUP BY 1, 2
 
 @_q("event_windowed_agg", _WIN_ORACLE)
 def event_windowed_agg(spark: SparkSession, sf: str) -> DataFrame:
-    # date_trunc/date_format are session-TZ-dependent; the DuckDB oracle
-    # is naive-UTC — pin it regardless of the caller's session default
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_utc(spark)  # driver-session guard; no-op on engine sessions
     e = load(spark, sf, "events")
     return (
         e.groupBy(

@@ -59,7 +59,10 @@ def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | 
         if kind == 'video': av.open(...) frame iterator
     """
     if _REAL_CODECS:
-        raise NotImplementedError("real codecs not available in this container")
+        # the real decode path is NOT implemented — this raise marks the
+        # call site to fill in (PIL.Image.open / av.open) when the flag
+        # is flipped after installing the libraries
+        raise NotImplementedError("wire PIL/av decode here before setting _REAL_CODECS")
     # nullable int columns arrive through Arrow→pandas as NaN floats
     w = 16 if width is None or width != width else int(width)
     h = 16 if height is None or height != height else int(height)

@@ -72,7 +72,7 @@ def clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPS-31: multi-pattern token-exact matching with char spans."""
     documents, seeds_df, _, _, _ = _corpus(spark, sf_dir)
-    labels = [r["label"] for r in seeds_df.select("label").collect()[:8]]
+    labels = [r["label"] for r in seeds_df.select("label").limit(8).collect()]
     from ecc_spark.matches import plain_text_col
 
     return (

@@ -11,3 +11,13 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ensure_utc(spark: SparkSession) -> None:
+    """TZ-sensitive queries (date_trunc/date_format) must render in UTC to
+    match the naive-UTC DuckDB oracle. Our session factory already pins
+    UTC (session.py); this guard exists for the EXTERNAL driver's session,
+    whose TZ we don't control — it mutates only when misconfigured, so
+    engine sessions see no side effect."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -154,3 +154,30 @@ def test_determinism_across_partitioning(built):
         outs.append(sorted(tuple(r) for r in df.collect()))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert outs[0] == outs[1]
+
+
+def test_duplicate_title_first_writer_wins(spark):
+    """INSERT OR IGNORE keeps the FIRST page per title in dump order
+    (dao/matches_db.py:53) — with doc_seq present, the kept row must be
+    the min-doc_seq one, not an arbitrary dropDuplicates survivor."""
+    from ecc_spark.ingest import ingest_markup
+    from ecc_spark.matches import build_matches
+
+    rows = [
+        ("Dup", None, "First version of this page mentions [[Seed Page|seed]] at length.", 0),
+        ("Dup", None, "Second version is a completely different body with enough length.", 1),
+        ("Other", None, "Another page that links to [[Seed Page]] with sufficient length.", 2),
+    ]
+    docs = ingest_markup(
+        spark.createDataFrame(
+            rows, schema="doc_id string, redirect string, markup string, doc_seq long"
+        )
+    )
+    seeds = spark.createDataFrame(
+        [("m1", "Seed", "http://en.wikipedia.org/wiki/Seed_Page")],
+        schema="mid string, label string, wikipedia string",
+    )
+    pages, matches, _ = build_matches(docs, seeds)
+    dup = pages.filter("title = 'Dup'").collect()
+    assert len(dup) == 1
+    assert "First version" in dup[0]["text"]
