@@ -25,6 +25,27 @@ def select_contexts(store: ContextsStore, entity: int, limit: int | None = None)
     return df.limit(limit) if limit is not None else df
 
 
+def insert_context(store: ContextsStore, row: dict) -> None:
+    """ref dao/contexts_db.py:53-62 — the singular write. A one-row
+    append is an anti-pattern on Spark (one file per call); it exists for
+    API parity with the reference DAO. Batch writes go through
+    ContextsStore.write / insert_contexts."""
+    insert_contexts(store, [row])
+
+
+def insert_contexts(store: ContextsStore, rows: list[dict]) -> None:
+    """ref dao/contexts_db.py:65-74 — executemany append."""
+    from ecc_spark import schemas
+
+    df = store.spark.createDataFrame(
+        [tuple(r[f.name] for f in schemas.CONTEXTS.fields) for r in rows],
+        schema=schemas.CONTEXTS,
+    )
+    import os
+
+    df.write.mode("append").parquet(os.path.join(store.path, "contexts"))
+
+
 def select_entity_mentions(store: MatchesStore, mid: str) -> DataFrame:
     """ref dao/matches_db.py:157-169."""
     return store.mentions().filter(F.col("mid") == mid).select("mention").distinct()

@@ -128,21 +128,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands × 2 rows
+# One md5 per shingle, 8 hash functions derived via a MULTIPLICATIVE
+# universal family over the digest's first 32 bits:
+#     h_i(s) = (A_i·h + B_i) mod (2^61−1),  h = int(md5(s)[:8 hex])
+# 8× fewer digests than seeded-md5-per-function and integer MINs instead
+# of string MINs. The naive alternative h1 + i·h2 is CORRELATED across i
+# (the same shingle tends to attain the min for every i), which guts LSH
+# recall — measured, not theoretical; multiplication by distinct odd
+# constants mixes bits properly. A_i < 2^31 and h < 2^32 keep A·h+B
+# under 2^63: no overflow under Spark ANSI mode and no DuckDB BIGINT
+# error. conv()/'0x'-cast produce identical int64 in both engines
+# (verified). 32-bit h collides ~(n²/2^33) shingles corpus-wide —
+# harmless for candidate generation.
+_MERSENNE61 = (1 << 61) - 1
+_A = [0x3A8F05C5, 0x2545F491, 0x1B873593, 0x45D9F3B1,
+      0x27D4EB2F, 0x165667B1, 0x61C88647, 0x1F83D9AB]
+_B = [0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x5BD1E995,
+      0x38495AB5, 0x52DCE729, 0x6C078965, 0x7FEB352D]
 
 _MINHASH_SIG_SQL = ", ".join(
-    f"list_min([md5(concat(CAST({i} AS VARCHAR), ':', s)) for s in sh]) AS mh{i}"
+    f"list_min([({_A[i]} * CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)"
+    f" + {_B[i]}) % {_MERSENNE61} for h in hx]) AS mh{i}"
     for i in range(_N_HASHES)
 )
 _BANDS_SQL = ", ".join(
     f"concat(CAST({b} AS VARCHAR), '|', "
-    + ", '|', ".join(f"mh{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))
+    + ", '|', ".join(
+        f"CAST(mh{b * _BAND_SIZE + r} AS VARCHAR)" for r in range(_BAND_SIZE)
+    )
     + f") AS band{b}"
     for b in range(_N_HASHES // _BAND_SIZE)
 )
 _MINHASH_ORACLE = f"""
 WITH docs AS (
-  SELECT doc_id, list_distinct([array_to_string(w[i+1:i+3], ' ')
-          for i in generate_series(0, len(w) - 3)]) AS sh
+  SELECT doc_id, [md5(s) for s in list_distinct([array_to_string(w[i+1:i+3], ' ')
+          for i in generate_series(0, len(w) - 3)])] AS hx
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         WHERE len(string_split(text,' ')) >= 3)
 ), sigs AS (
@@ -157,27 +177,32 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle → 8 minhashes (string-MIN of
-    seeded md5) → 4 bands of 2 → bucket-join on band key → distinct pairs.
-    The full signature matrix is one narrow projection; the only shuffle
-    keys are band strings (uniform). At 10^10 docs the band join replaces
-    the O(n²) comparison with near-linear candidate generation."""
+    """MinHash+LSH candidate pairs: shingle → md5 once → 8 multiplicative
+    universal hashes (integer MIN of (A_i·h+B_i) mod 2^61−1) → 4 bands of
+    2 → bucket-join on band key → distinct pairs. The full signature
+    matrix is one narrow projection; the only shuffle keys are band
+    strings (uniform). At 10^10 docs the band join replaces the O(n²)
+    comparison with near-linear candidate generation."""
     d = load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
     d = d.filter(F.size("w") >= 3)
     docs = d.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
-            )
-        ).alias("sh"),
+        F.transform(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
+                )
+            ),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("hv"),
     )
 
     def mh(i: int):
-        prefix = f"{i}:"
         return F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+            F.transform(
+                "hv", lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_MERSENNE61)
+            )
         ).alias(f"mh{i}")
 
     sigs = docs.select("doc_id", *[mh(i) for i in range(_N_HASHES)])
@@ -185,7 +210,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.concat_ws(
             "|",
             F.lit(str(b)),
-            *[F.col(f"mh{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)],
+            *[F.col(f"mh{b * _BAND_SIZE + r}").cast("string") for r in range(_BAND_SIZE)],
         )
         for b in range(_N_HASHES // _BAND_SIZE)
     ]
