@@ -124,8 +124,11 @@ def build_contexts(
     )
 
     # repartition by mid so each Arrow batch sees few distinct pattern sets
-    # (matcher-per-batch cache in udfs.py); reuses the sampling partitioning
-    ctx = ctx.repartition("mid")
+    # (matcher-per-batch cache in udfs.py). The partition count is EXPLICIT:
+    # a bare repartition("mid") is AQE-coalesced by byte size, which
+    # funnels the crop/mask pandas-UDF stage (whose per-row Python cost
+    # AQE cannot see) into 1-2 tasks
+    ctx = ctx.repartition(spark.sparkContext.defaultParallelism * 2, "mid")
 
     cropped = (
         crop_sentences_udf("window_context", "patterns")

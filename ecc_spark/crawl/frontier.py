@@ -173,6 +173,7 @@ class CrawlEngine:
         )
         # same commit discipline as run_wave: frontier manifest last
         self.t_seen.commit(self._empty_seen(), wave=-1, rows=0)
+        self.t_bloom.trim_to_wave(-1)  # reused workdir: stale bitmaps out
         self.t_frontier.commit(front, wave=-1)
         self.next_wave = 0
         self._seen_count = 0

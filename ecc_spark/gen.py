@@ -202,6 +202,57 @@ def corpus(
     return docs, seeds, mid2rid_rows(seeds, seed=seed + 2)
 
 
+def wiki_xml(path: str, n_docs: int = 60, n_seeds: int = 20, seed: int = 42) -> dict:
+    """Write a deterministic MediaWiki-export-shaped XML dump of the
+    synthetic corpus (reference scan shape: util/wikipedia.py). Includes
+    the scan edge cases: a <page> with no <text> (missing_texts counter)
+    and one with no <title> (missing_titles); null-markup corpus docs are
+    emitted title-only, namespace-prefixed titles stay (the reader must
+    count the skips itself). Returns the expected scan counters."""
+    from xml.sax.saxutils import escape
+
+    docs, _, _ = corpus(n_docs=n_docs, n_seeds=n_seeds, seed=seed)
+    exp = {"raw": 0, "missing_titles": 0, "missing_texts": 0, "skipped": 0, "kept": 0}
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(
+            '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/" '
+            'version="0.10" xml:lang="en">\n  <siteinfo>\n    '
+            "<sitename>SynthWiki</sitename>\n  </siteinfo>\n"
+        )
+        for d in docs:
+            exp["raw"] += 1
+            fh.write("  <page>\n")
+            if d["doc_id"] is None:
+                exp["missing_titles"] += 1
+                fh.write("    <ns>0</ns>\n  </page>\n")
+                continue
+            fh.write(f"    <title>{escape(d['doc_id'])}</title>\n")
+            if d["redirect"] is not None:
+                fh.write(f'    <redirect title="{escape(d["redirect"])}" />\n')
+            if d["markup"] is None:
+                exp["missing_texts"] += 1
+                fh.write("    <revision><id>1</id></revision>\n  </page>\n")
+                continue
+            fh.write(
+                "    <revision>\n      <id>1</id>\n"
+                f"      <text>{escape(d['markup'])}</text>\n    </revision>\n  </page>\n"
+            )
+            if d["doc_id"].startswith(tuple(_NAMESPACE_PREFIXES)):
+                exp["skipped"] += 1
+            else:
+                exp["kept"] += 1
+        # explicit missing-text page (titled, no revision text) — the
+        # corpus's null rows only exercise missing_titles
+        exp["raw"] += 1
+        exp["missing_texts"] += 1
+        fh.write(
+            "  <page>\n    <title>Edge NoText</title>\n"
+            "    <revision><id>1</id></revision>\n  </page>\n"
+        )
+        fh.write("</mediawiki>\n")
+    return exp
+
+
 # ---------------------------------------------------------------------------
 # Crawl frontier (north rule; FIXTURES.md §4) — Zipf-skewed hosts
 # ---------------------------------------------------------------------------

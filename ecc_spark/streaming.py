@@ -105,6 +105,42 @@ def stateful_user_stats(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame
     )
 
 
+MARKUP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("redirect", T.StringType()),
+        T.StructField("markup", T.StringType()),
+        T.StructField("doc_seq", T.LongType()),
+    ]
+)
+
+
+def incremental_ingest(
+    spark: SparkSession, markup_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental dump-delta ingest (SURVEY.md §2.9): new markup parquet
+    files dropped into ``markup_dir`` stream through the wikitext parser
+    into a spans table, exactly-once per file via the stream checkpoint.
+    Trigger.AvailableNow drains everything present, then stops — re-run
+    after each dump delta lands; already-ingested files are skipped, so
+    ingest cost is O(delta), not O(corpus). The parse stage is the same
+    narrow vectorized projection as the batch path (ingest.ingest_markup)."""
+    from ecc_spark.ingest import parse_wikitext_udf
+
+    stream = spark.readStream.schema(MARKUP_SCHEMA).parquet(markup_dir)
+    out = stream.select(
+        "doc_id", "redirect", parse_wikitext_udf("markup").alias("p"), "doc_seq"
+    ).select("doc_id", "redirect", "p.spans", "p.hidden_links", "doc_seq")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(agg: DataFrame, name: str, mode: str = "update") -> None:
     """Drive a streaming query to completion synchronously (tests/local)."""
     q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()

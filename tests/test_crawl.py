@@ -246,3 +246,39 @@ def test_resume_trims_orphan_deltas(spark, tmp_path, crawl_setup):
     eng_resumed.run(1)
     got = sorted(tuple(r) for r in eng_resumed.seen().select("url", "wave", "order_key").collect())
     assert got == want
+
+
+def test_fetch_stage_stays_parallel(spark):
+    """Regression guard for the repartition-collapse trap: a repartition
+    keyed+sized identically to the window's exchange is optimizer-removed,
+    and the surviving exchange is AQE-coalesced to 1 task — serializing
+    the Python fetch stage. The fetch stage must spread across many
+    partitions (it repartitions on url_hash, REPARTITION_BY_NUM)."""
+    import tempfile
+
+    from ecc_spark.crawl.frontier import CrawlEngine, _canon
+    from ecc_spark.crawl.politeness import schedule_budget
+
+    urls = [u["url"] for u in gen.frontier_urls(2000, n_hosts=40, seed=3)]
+    cand = _canon(spark.createDataFrame([(u,) for u in urls], schema="url string"))
+    front = (
+        cand.groupBy("url")
+        .agg(
+            F.first("host").alias("host"),
+            F.first("priority").alias("priority"),
+            F.first("url_hash").alias("url_hash"),
+        )
+        .withColumn("depth", F.lit(0))
+    )
+    sched = schedule_budget(front, 100, 4)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(), host_budget=100, n_salts=4, max_depth=2)
+    fetched = eng._order_and_fetch(sched, 0)
+    occ = (
+        fetched.withColumn("_p", F.spark_partition_id()).groupBy("_p").count().collect()
+    )
+    npart = spark.sparkContext.defaultParallelism * 2
+    assert len(occ) >= min(8, npart // 2), f"fetch ran on {len(occ)} partitions"
+    # order keys are a contiguous 0..n-1 ranking regardless of partitioning
+    n = sum(r["count"] for r in occ)
+    keys = sorted(r["order_key"] for r in fetched.select("order_key").collect())
+    assert keys == list(range(n))

@@ -174,3 +174,43 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle_pairs(spark):
     # the surviving pair's jaccard is computed over the CAPPED universe
     [pair] = capped
     assert abs(pair["jaccard"] - 2 / 4) < 1e-9  # 2 common of 3+3 shingles
+
+
+def test_incremental_ingest_is_exactly_once_per_delta(spark, tmp_path):
+    """Dump-delta streaming ingest: batch 1 ingests once; re-running with
+    no new files adds NOTHING (checkpoint skips seen files); dropping a
+    delta ingests only the delta. Spans equal the batch parser's."""
+    import os
+
+    from ecc_spark import gen
+    from ecc_spark.ingest import parse_markup
+    from ecc_spark.streaming import incremental_ingest
+
+    markup_dir = os.path.join(tmp_path, "markup")
+    out_dir = os.path.join(tmp_path, "spans")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    docs, _, _ = gen.corpus(n_docs=30, n_seeds=10, seed=3)
+    rows = [
+        (d["doc_id"], d["redirect"], d["markup"], i)
+        for i, d in enumerate(docs)
+        if d["markup"] is not None
+    ]
+    schema = "doc_id string, redirect string, markup string, doc_seq long"
+    spark.createDataFrame(rows[:15], schema=schema).write.mode("append").parquet(markup_dir)
+
+    incremental_ingest(spark, markup_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 15
+    incremental_ingest(spark, markup_dir, out_dir, ckpt)  # no new files
+    assert spark.read.parquet(out_dir).count() == 15
+
+    spark.createDataFrame(rows[15:], schema=schema).write.mode("append").parquet(markup_dir)
+    incremental_ingest(spark, markup_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(rows)
+
+    # span parity with the batch parser on one doc
+    sample = got.filter(F.col("doc_id") == rows[0][0]).first()
+    want = parse_markup(rows[0][2])
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sample["spans"]] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want
+    ]

@@ -1,0 +1,67 @@
+"""Distributed XML reader vs the synthetic dump's KNOWN counters.
+
+Complements tests/test_real_corpus.py (which checks against an
+independent sequential parse of the reference's real corpus): here the
+generator itself knows the expected counters, so edge pages (missing
+title, missing text, namespace skips) are exercised by construction, and
+the spans produced from the dump must equal the golden spans the corpus
+generator emitted for the same docs — the XML round-trip must be
+lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ecc_spark import gen
+from ecc_spark.ingest import ingest_markup
+from ecc_spark.wiki_xml import read_wikipedia_xml, scan_stats, wikipedia_pages
+
+
+def test_synthetic_dump_counters_and_order(spark, tmp_path):
+    path = os.path.join(tmp_path, "dump.xml")
+    exp = gen.wiki_xml(path, n_docs=60, n_seeds=20, seed=42)
+    raw = read_wikipedia_xml(spark, path)
+    st = scan_stats(raw)
+    assert st.raw_pages == exp["raw"]
+    assert st.missing_titles == exp["missing_titles"] > 0
+    assert st.missing_texts == exp["missing_texts"] > 0
+    assert st.skipped_special_pages == exp["skipped"] > 0
+    assert st.kept == exp["kept"]
+
+    # dump order: kept doc_ids in doc_seq order == generator emit order
+    docs, _, _ = gen.corpus(n_docs=60, n_seeds=20, seed=42)
+    want = [
+        d["doc_id"]
+        for d in docs
+        if d["doc_id"] is not None
+        and d["markup"] is not None
+        and not d["doc_id"].startswith(tuple(gen._NAMESPACE_PREFIXES))
+    ]
+    got = [
+        r["doc_id"]
+        for r in wikipedia_pages(raw).orderBy("doc_seq").select("doc_id").collect()
+    ]
+    assert got == want
+
+
+def test_xml_roundtrip_spans_equal_golden(spark, tmp_path):
+    """dump → reader → ingest spans == the generator's golden spans
+    (BASELINE.json per-row invariant through the XML front door)."""
+    path = os.path.join(tmp_path, "dump.xml")
+    gen.wiki_xml(path, n_docs=40, n_seeds=12, seed=42)
+    pages = wikipedia_pages(read_wikipedia_xml(spark, path))
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in ingest_markup(pages).collect()
+    }
+    docs, _, _ = gen.corpus(n_docs=40, n_seeds=12, seed=42)
+    checked = 0
+    for d in docs:
+        if d["doc_id"] is None or d["markup"] is None or d["doc_id"] not in out:
+            continue
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out[d["doc_id"]]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]]
+        assert got == want, d["doc_id"]
+        checked += 1
+    assert checked > 20
