@@ -121,8 +121,14 @@ class CrawlEngine:
         self.bloom_sharded = (
             use_bloom and bloom_buckets * (bloom_bits // 8) > bloom_broadcast_cap
         )
-        self.t_frontier = SnapshotTable(spark, workdir, "frontier")
-        # seen and run_log are append-only → delta snapshots (O(wave) commits)
+        # ALL state tables are append-only delta snapshots — commits are
+        # O(delta), never O(total). The frontier in particular must not be
+        # rewritten per wave (a 10^10-row rewrite every wave would dwarf
+        # the crawl itself): every URL ever discovered is appended exactly
+        # once, and the live queue is DERIVED as deltas ⟍ seen (valid
+        # because seen ⊆ frontier-ever — seeds and all fetches enter the
+        # frontier first).
+        self.t_frontier = SnapshotTable(spark, workdir, "frontier", append=True)
         self.t_seen = SnapshotTable(spark, workdir, "seen", append=True)
         self.t_runlog = SnapshotTable(spark, workdir, "run_log", append=True)
         self.t_bloom = SnapshotTable(spark, workdir, "bloom", append=True)
@@ -144,7 +150,22 @@ class CrawlEngine:
 
     # -- state ---------------------------------------------------------
     def frontier(self) -> DataFrame | None:
-        return self.t_frontier.read()
+        """The live queue: every URL ever appended, minus every URL ever
+        fetched. One anti-join on url_hash per read — the price of
+        O(delta) frontier commits (the alternative, rewriting the whole
+        frontier each wave, is O(total) writes per wave)."""
+        ever = self.t_frontier.read()
+        if ever is None:
+            return None
+        seen = self.seen()
+        if seen is None:
+            return ever
+        return ever.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+    def queued_rows(self) -> int:
+        """Live queue size from manifests alone (no job): every seen URL
+        was once appended to the frontier, so queue = appended − seen."""
+        return (self.t_frontier.latest_rows() or 0) - self._seen_count
 
     def seen(self) -> DataFrame | None:
         return self.t_seen.read()
@@ -171,9 +192,12 @@ class CrawlEngine:
             .withColumn("wave", F.lit(0))
             .withColumn("state", F.lit("queued"))
         )
-        # same commit discipline as run_wave: frontier manifest last
+        # seeding a reused workdir is a fresh crawl: reset every append
+        # table (all four are delta tables now — stale deltas would union
+        # into reads). Same commit discipline as run_wave: frontier last.
+        for t in (self.t_seen, self.t_runlog, self.t_bloom, self.t_frontier):
+            t.trim_to_wave(None)
         self.t_seen.commit(self._empty_seen(), wave=-1, rows=0)
-        self.t_bloom.trim_to_wave(-1)  # reused workdir: stale bitmaps out
         self.t_frontier.commit(front, wave=-1)
         self.next_wave = 0
         self._seen_count = 0
@@ -276,8 +300,13 @@ class CrawlEngine:
             detail[key] = round(now - since, 2)
             return now
 
+        # live queue = appended-ever ⟍ seen: one hash anti-join per wave —
+        # the price of O(delta) frontier commits. (A bloom-prefiltered
+        # variant was measured SLOWER here: it puts a pandas-UDF stage and
+        # a union ahead of the politeness windows; the plain anti-join
+        # stays whole-stage-codegen.)
         frontier = self.frontier()
-        frontier_rows = self.t_frontier.latest_rows() or 0
+        appended_before = self.t_frontier.latest_rows() or 0
         seen = self.seen() or self._empty_seen()
         base = self._seen_count  # order_key continues across waves (no job)
 
@@ -370,12 +399,18 @@ class CrawlEngine:
             bloom = self._bloom_bc
         cand = filter_unseen(cand, new_seen, bloom, self.bloom_buckets)
 
-        remaining = frontier.join(fetched.select("url_hash"), "url_hash", "left_anti")
-        cand = cand.join(remaining.select("url_hash"), "url_hash", "left_anti")
-        new_frontier = remaining.unionByName(
+        # a URL discovered earlier but deferred by budget is still queued —
+        # don't append it twice. Anti-join against the RAW appended-ever
+        # scan, not the queue view: cand is already not-seen (filter_unseen
+        # above), and for not-seen URLs ever ∩ ¬seen ≡ queued — this skips
+        # re-evaluating the queue view's anti-join a second time per wave.
+        cand = cand.join(
+            self.t_frontier.read().select("url_hash"), "url_hash", "left_anti"
+        )
+        frontier_delta = (
             cand.withColumn("wave", F.lit(wave + 1))
             .withColumn("state", F.lit("queued"))
-            .select(*remaining.columns)
+            .select("url", "host", "priority", "url_hash", "depth", "wave", "state")
         )
         t = mark("expand_plan", t)
 
@@ -406,9 +441,9 @@ class CrawlEngine:
         self.t_runlog.commit(runlog, wave=wave, rows=len(runlog_rows))
         t = mark("commit_runlog", t)
 
-        self.t_frontier.commit(new_frontier, wave=wave)  # ← the commit point
-        new_frontier_rows = self.t_frontier.latest_rows() or 0
-        n_new = new_frontier_rows - (frontier_rows - n_scheduled)
+        # ← the commit point; O(delta) — the frontier is never rewritten
+        self.t_frontier.commit(frontier_delta, wave=wave)
+        n_new = (self.t_frontier.latest_rows() or 0) - appended_before
         mark("commit_frontier", t)
 
         self.next_wave = wave + 1
@@ -425,7 +460,7 @@ class CrawlEngine:
     def run(self, max_waves: int) -> CrawlResult:
         res = CrawlResult()
         for _ in range(max_waves):
-            if not (self.t_frontier.latest_rows() or 0):
+            if self.queued_rows() <= 0:
                 break
             res.waves.append(self.run_wave())
         return res
