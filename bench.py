@@ -59,7 +59,7 @@ def crawl_bench(spark, n_urls: int = 8000, waves: int = 2, budget: int = 120) ->
         schema="host string, path_prefix string, allow boolean",
     )
     eng = CrawlEngine(
-        spark, tempfile.mkdtemp(prefix="bench_crawl_"), robots=robots_df,
+        spark, tempfile.mkdtemp(prefix="bench_crawl_", dir="/dev/shm"), robots=robots_df,
         host_budget=budget, n_salts=16, max_depth=2,
     )
     eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))
