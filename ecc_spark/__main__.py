@@ -66,10 +66,16 @@ def cmd_ingest_xml(args) -> int:
         return 2
     spark = get_spark("ecc_ingest_xml")
     raw = read_wikipedia_xml(spark, args.wiki_xml, limit_pages=args.limit_pages)
-    ingest_markup(wikipedia_pages(raw)).write.mode(
-        "overwrite" if args.overwrite else "errorifexists"
-    ).parquet(args.out_parquet)
-    st = scan_stats(raw)
+    # Both consumers (ingest write + counters) share one XML parse: the ET
+    # pandas UDF would otherwise run twice over the full dump.
+    raw = raw.persist()
+    try:
+        ingest_markup(wikipedia_pages(raw)).write.mode(
+            "overwrite" if args.overwrite else "errorifexists"
+        ).parquet(args.out_parquet)
+        st = scan_stats(raw)
+    finally:
+        raw.unpersist()
     # reference cmd/build_matches_db.py:183-186 + util/wikipedia.py counters
     print()
     print("Stats")

@@ -37,6 +37,7 @@ parallelism.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -333,8 +334,10 @@ class CrawlEngine:
                 .alias("partition_id")
             )
             .agg(
+                # fetchsim never fails a fetch, so scheduled == fetched by
+                # construction; the run_log keeps both columns (lineage
+                # schema) fed from the single count.
                 F.count("*").alias("scheduled"),
-                F.count("*").alias("fetched"),
                 F.coalesce(F.sum("n_spans"), F.lit(0)).alias("extracted"),
             )
             .collect()
@@ -431,7 +434,7 @@ class CrawlEngine:
         snap_id = self.t_seen.latest_id() or 0
         runlog = self.spark.createDataFrame(
             [
-                (wave, snap_id, r["partition_id"], r["scheduled"], r["fetched"],
+                (wave, snap_id, r["partition_id"], r["scheduled"], r["scheduled"],
                  int(r["extracted"]))
                 for r in runlog_rows
             ] or [(wave, snap_id, 0, 0, 0, 0)],
@@ -444,7 +447,14 @@ class CrawlEngine:
         # ← the commit point; O(delta) — the frontier is never rewritten
         self.t_frontier.commit(frontier_delta, wave=wave)
         n_new = (self.t_frontier.latest_rows() or 0) - appended_before
-        mark("commit_frontier", t)
+        t = mark("commit_frontier", t)
+
+        # GC: the wave's staged fetch parquet is dead once its frontier
+        # commit lands (seen/runlog/frontier deltas all derive from it and
+        # are committed above) — without this a long crawl accumulates
+        # O(total-crawl) staging data, defeating the O(delta) storage story.
+        shutil.rmtree(fpath, ignore_errors=True)
+        mark("gc_fetched", t)
 
         self.next_wave = wave + 1
         return WaveMetrics(

@@ -168,7 +168,7 @@ def parse_wikitext(markup: str) -> tuple[list[dict], list[dict]]:
     s = markup
     if "<!--" in s:
         s = _COMMENT_RE.sub("", s)
-    if "<ref" in s or "<Ref" in s or "<REF" in s:
+    if "<ref" in s.lower():  # _REF_RE is case-insensitive; probe must be too
         s = _REF_RE.sub(lambda m: _collect_links(m.group(0), hidden) or "", s)
     s = _strip_braces(s, hidden)
 

@@ -79,10 +79,15 @@ def seed_title_map(seeds: DataFrame) -> DataFrame:
 def plain_text_col(spans_col: str = "spans"):
     """Reconstruct plain text from spans JVM-side (media contributes no
     surface). Replaces wikitextparser's plain_text() (OPS-29)."""
-    return F.aggregate(
-        F.filter(spans_col, lambda s: s.kind != F.lit("media")),
-        F.lit(""),
-        lambda acc, s: F.concat(acc, s.text),
+    # array_join over a projected array is a single allocation; the
+    # aggregate/concat fold it replaces copied the accumulator per span
+    # (O(k * page_len) char copies on span-heavy pages).
+    return F.array_join(
+        F.transform(
+            F.filter(spans_col, lambda s: s.kind != F.lit("media")),
+            lambda s: s.text,
+        ),
+        "",
     )
 
 

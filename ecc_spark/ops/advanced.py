@@ -72,7 +72,7 @@ FROM events GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-
 
 
 def event_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    ensure_utc(spark)  # driver-session guard; no-op on engine sessions
+    ensure_utc(spark)  # driver-session guard; pins session TZ to UTC for the life of the session (lazy plans execute later — see tables.ensure_utc)
     e = load(spark, sf, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )

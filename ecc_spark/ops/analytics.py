@@ -110,7 +110,7 @@ FROM events GROUP BY 1, 2
 
 @_q("event_windowed_agg", _WIN_ORACLE)
 def event_windowed_agg(spark: SparkSession, sf: str) -> DataFrame:
-    ensure_utc(spark)  # driver-session guard; no-op on engine sessions
+    ensure_utc(spark)  # driver-session guard; pins session TZ to UTC for the life of the session (lazy plans execute later — see tables.ensure_utc)
     e = load(spark, sf, "events")
     return (
         e.groupBy(

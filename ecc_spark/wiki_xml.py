@@ -99,7 +99,19 @@ def read_wikipedia_xml(
     <page> elements in dump order, before any filter (and ``0`` means
     unlimited, matching the reference's falsy check). Sort+limit compiles
     to TakeOrderedAndProject — no full-sort shuffle.
+
+    ``path`` must be a single dump file: doc_seq (dump order) comes from
+    monotonically_increasing_id, which tracks file order only within one
+    file — Spark orders multi-file inputs by size, which would silently
+    corrupt limit_pages and first-writer-wins dedup.
     """
+    import os
+
+    if os.path.isdir(path) or any(ch in path for ch in "*?[{"):
+        raise ValueError(
+            "read_wikipedia_xml requires a single dump file (dump order via "
+            f"doc_seq is per-file); got directory/glob: {path}"
+        )
     raw = (
         spark.read.option("lineSep", "</page>").text(path)
         .withColumn("doc_seq", F.monotonically_increasing_id())
