@@ -2,64 +2,187 @@
 
 The Iceberg runtime jar is not in this image (guide §Sources), so the
 engine ships a minimal snapshot layer with the same semantics the wave
-loop needs: atomic-ish commits (manifest written last), snapshot history,
-read-latest / read-as-of, and per-wave lineage. ``try_iceberg()`` returns
-a real-Iceberg binding when the catalog is configured, keeping the wave
-loop storage-agnostic.
+loop needs: atomic commits (numbered manifest files — see below),
+snapshot history, read-latest / read-as-of, and per-wave lineage.
+``try_iceberg()`` returns a real-Iceberg binding when the catalog is
+configured, keeping the wave loop storage-agnostic.
 
 Two table modes:
-- replace (default): each snapshot is the full table (frontier — it
-  mutates every wave);
-- append: each snapshot holds only that wave's DELTA; a read unions the
-  deltas up to the requested snapshot (seen, run_log — append-only, so
-  commit cost is O(wave), not O(total): the difference between a crawl
-  that slows down every wave and one that doesn't).
+- replace (default): each snapshot is the full table (small dimension
+  state — it mutates every wave);
+- append: each snapshot holds only that wave's DELTA; a read covers the
+  deltas up to the requested snapshot (frontier, seen, run_log —
+  append-only, so commit cost is O(wave), not O(total): the difference
+  between a crawl that slows down every wave and one that doesn't).
 
-Layout:  <root>/<name>/snap=<id>/part-*.parquet
-         <root>/<name>/_manifest.json
-         {"snapshots": [{id, wave, rows}], "latest": id, "append": bool}
+Commit protocol (object-store-safe): each metadata version is its own
+immutable file ``_manifest.<n>.json``, created with O_EXCL; the live
+manifest is the one with the highest ``n``. Commit therefore never
+renames over an existing object — create-new-file is atomic on
+S3-class stores where rename is copy+delete (Iceberg's numbered
+``vN.metadata.json`` uses the same discipline). A crash between the
+snapshot's data write and its manifest write leaves unreferenced data
+files that no manifest points at (harmless orphans, trimmed on resume).
+
+Bucketed mode (``bucket_by=``, append tables only): deltas are appended
+to ONE catalog parquet table, partitioned by ``snap_id`` and bucketed by
+the key, instead of per-snapshot directories. A read is then a single
+bucketed ``FileScan`` (``Bucketed: true``) with partition pruning over
+the live snapshot ids — so every equi-join/anti-join on the bucket key
+against another table bucketed the same way runs WITHOUT an Exchange on
+either side. That turns the wave loop's per-wave ``ever ⟍ seen`` queue
+view from a full shuffle of two 10^10-row tables into a co-located
+merge (tests/test_crawl.py asserts the no-Exchange plan). Snapshot ids
+are never reused after a trim, so orphaned ``snap_id=`` partitions are
+excluded by partition pruning rather than physical deletes.
+
+Layout:  plain:    <root>/<name>/snap=<id>/part-*.parquet
+         bucketed: <root>/<name>/data/snap_id=<id>/<bucket files>
+         both:     <root>/<name>/_manifest.<n>.json   (live = max n)
+         {"snapshots": [{id, wave, rows}], "latest": id, "append": bool,
+          "next_id": id, "bucket_by": col|null, "n_buckets": N,
+          "schema": [[name, ddl_type], ...]}
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_RE = re.compile(r"_manifest\.(\d+)\.json$")
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str, name: str, append: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        append: bool = False,
+        bucket_by: str | None = None,
+        n_buckets: int = 16,
+    ):
+        if bucket_by and not append:
+            raise ValueError("bucketed snapshot tables require append mode")
         self.spark = spark
         self.append = append
+        self.bucket_by = bucket_by
+        self.n_buckets = n_buckets
         self.dir = os.path.join(root, name)
-        self.manifest_path = os.path.join(self.dir, "_manifest.json")
+        self.data_dir = os.path.join(self.dir, "data")
+        # catalog names are session-global; scope by table location so
+        # concurrent engines (tests) can't collide
+        digest = hashlib.md5(os.path.abspath(self.dir).encode()).hexdigest()[:10]
+        self.table_name = f"snap_{digest}_{re.sub(r'[^A-Za-z0-9_]', '_', name)}"
         os.makedirs(self.dir, exist_ok=True)
 
+    # -- manifest ------------------------------------------------------
+    def _latest_manifest_version(self) -> int:
+        best = 0
+        for fn in os.listdir(self.dir):
+            m = _MANIFEST_RE.match(fn)
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
+
     def _manifest(self) -> dict:
-        if not os.path.exists(self.manifest_path):
-            return {"snapshots": [], "latest": None, "append": self.append}
-        with open(self.manifest_path, encoding="utf-8") as fh:
+        v = self._latest_manifest_version()
+        if not v:
+            return {
+                "snapshots": [],
+                "latest": None,
+                "append": self.append,
+                "next_id": 1,
+                "bucket_by": self.bucket_by,
+                "n_buckets": self.n_buckets,
+                "schema": None,
+            }
+        with open(os.path.join(self.dir, f"_manifest.{v}.json"), encoding="utf-8") as fh:
             return json.load(fh)
 
+    def _write_manifest(self, man: dict) -> None:
+        """Publish a new metadata version as a brand-new file (O_EXCL):
+        no rename-over, so the commit point is atomic on object stores.
+        The loop handles a concurrent committer taking our version slot."""
+        v = self._latest_manifest_version() + 1
+        while True:
+            path = os.path.join(self.dir, f"_manifest.{v}.json")
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                v += 1
+                continue
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                json.dump(man, fh)
+            return
+
+    # -- bucketed catalog binding ---------------------------------------
+    def _ensure_registered(self, man: dict) -> None:
+        """Bind the bucketed data directory into the session catalog.
+        saveAsTable registers it on first commit; a NEW session (resume)
+        re-creates the binding from the manifest's schema via DDL."""
+        if self.spark.catalog.tableExists(self.table_name):
+            return
+        if not man["schema"] or not os.path.exists(self.data_dir):
+            return  # nothing written yet; the first commit's saveAsTable
+            # creates both the data directory and the catalog entry
+        cols = ", ".join(f"`{n}` {t}" for n, t in man["schema"])
+        self.spark.sql(
+            f"CREATE TABLE {self.table_name} ({cols}, `snap_id` INT) "
+            f"USING PARQUET OPTIONS (path '{self.data_dir}') "
+            f"PARTITIONED BY (snap_id) "
+            f"CLUSTERED BY (`{man['bucket_by']}`) "
+            f"SORTED BY (`{man['bucket_by']}`) INTO {man['n_buckets']} BUCKETS"
+        )
+        self.spark.sql(f"MSCK REPAIR TABLE {self.table_name}")
+
+    # -- commit / read ---------------------------------------------------
     def commit(self, df: DataFrame, wave: int, rows: int | None = None) -> int:
         """Write df as a new snapshot (full table, or the delta in append
-        mode); the manifest update IS the commit — readers never see a
+        mode); the manifest file IS the commit — readers never see a
         half-written snapshot. Pass ``rows`` (of THIS df) when known to
-        skip the metadata read-back."""
+        skip the metadata read-back. Snapshot ids are monotone and never
+        reused (trim cannot resurrect an orphan under a recycled id)."""
         man = self._manifest()
-        snap_id = (man["latest"] or 0) + 1
-        path = os.path.join(self.dir, f"snap={snap_id}")
-        df.write.mode("overwrite").parquet(path)
-        if rows is None:
-            rows = self.spark.read.parquet(path).count()
+        snap_id = man.get("next_id") or ((man["latest"] or 0) + 1)
+        if self.bucket_by:
+            if man["schema"] is None:
+                man["schema"] = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+            self._ensure_registered(man)
+            (
+                df.withColumn("snap_id", F.lit(snap_id))
+                # pre-shuffle into the bucket layout so each task owns one
+                # bucket → N files per snapshot, not N × input-partitions
+                .repartition(self.n_buckets, self.bucket_by)
+                .write.partitionBy("snap_id")
+                .bucketBy(self.n_buckets, self.bucket_by)
+                .sortBy(self.bucket_by)
+                .option("path", self.data_dir)
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(self.table_name)
+            )
+            if rows is None:
+                rows = (
+                    self.spark.table(self.table_name)
+                    .filter(F.col("snap_id") == snap_id)
+                    .count()
+                )
+        else:
+            path = os.path.join(self.dir, f"snap={snap_id}")
+            df.write.mode("overwrite").parquet(path)
+            if rows is None:
+                rows = self.spark.read.parquet(path).count()
         man["snapshots"].append({"id": snap_id, "wave": wave, "rows": rows})
         man["latest"] = snap_id
+        man["next_id"] = snap_id + 1
         man["append"] = self.append
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(man, fh)
-        os.replace(tmp, self.manifest_path)
+        self._write_manifest(man)
         return snap_id
 
     def read(self, snapshot_id: int | None = None) -> DataFrame | None:
@@ -67,6 +190,17 @@ class SnapshotTable:
         sid = snapshot_id if snapshot_id is not None else man["latest"]
         if sid is None:
             return None
+        if self.bucket_by:
+            self._ensure_registered(man)
+            live = [s["id"] for s in man["snapshots"] if s["id"] <= sid]
+            # isin over live ids → PartitionFilters prune orphans; the
+            # projection keeps the bucket column, so Bucketed: true
+            # partitioning survives into downstream joins
+            return (
+                self.spark.table(self.table_name)
+                .filter(F.col("snap_id").isin(live))
+                .drop("snap_id")
+            )
         if not man.get("append"):
             return self.spark.read.parquet(os.path.join(self.dir, f"snap={sid}"))
         paths = [
@@ -76,6 +210,7 @@ class SnapshotTable:
         ]
         return self.spark.read.parquet(*paths)
 
+    # -- metadata-only views ---------------------------------------------
     def latest_id(self) -> int | None:
         return self._manifest()["latest"]
 
@@ -105,7 +240,11 @@ class SnapshotTable:
         reconciliation): a crash between this table's commit and the
         wave's final commit point leaves an orphaned delta here; replaying
         the wave would then double-count it. Returns #snapshots dropped.
-        ``wave=None`` (no commit point at all) drops everything."""
+        ``wave=None`` (no commit point at all) drops everything.
+
+        Metadata-only, like an Iceberg rollback: data files of dropped
+        snapshots stay on disk but are unreachable (ids are never reused,
+        and bucketed reads prune by live id)."""
         man = self._manifest()
         keep = [s for s in man["snapshots"] if wave is not None and s["wave"] <= wave]
         dropped = len(man["snapshots"]) - len(keep)
@@ -113,10 +252,7 @@ class SnapshotTable:
             return 0
         man["snapshots"] = keep
         man["latest"] = max((s["id"] for s in keep), default=None)
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(man, fh)
-        os.replace(tmp, self.manifest_path)
+        self._write_manifest(man)
         return dropped
 
 

@@ -105,6 +105,7 @@ class CrawlEngine:
         bloom_buckets: int = 64,
         bloom_bits: int = 1 << 20,
         bloom_broadcast_cap: int = 1 << 30,
+        n_buckets: int = 16,
         resume: bool = False,
     ):
         self.spark = spark
@@ -128,9 +129,21 @@ class CrawlEngine:
         # the crawl itself): every URL ever discovered is appended exactly
         # once, and the live queue is DERIVED as deltas ⟍ seen (valid
         # because seen ⊆ frontier-ever — seeds and all fetches enter the
-        # frontier first).
-        self.t_frontier = SnapshotTable(spark, workdir, "frontier", append=True)
-        self.t_seen = SnapshotTable(spark, workdir, "seen", append=True)
+        # frontier first). The two BIG tables (frontier-ever and seen, both
+        # 10^10 rows at target scale) are BUCKETED on url_hash with the
+        # same bucket count, so the per-wave queue-view anti-join and the
+        # expansion's frontier anti-join read co-located bucketed scans —
+        # no Exchange on the big side(s), ever (plan-asserted in
+        # tests/test_crawl.py).
+        self.n_buckets = n_buckets
+        self.t_frontier = SnapshotTable(
+            spark, workdir, "frontier", append=True,
+            bucket_by="url_hash", n_buckets=n_buckets,
+        )
+        self.t_seen = SnapshotTable(
+            spark, workdir, "seen", append=True,
+            bucket_by="url_hash", n_buckets=n_buckets,
+        )
         self.t_runlog = SnapshotTable(spark, workdir, "run_log", append=True)
         self.t_bloom = SnapshotTable(spark, workdir, "bloom", append=True)
         self._bloom = None  # broadcast mode: dict, rebuilt on resume

