@@ -191,15 +191,32 @@ class CrawlEngine:
 
     # -- API -----------------------------------------------------------
     def seed(self, urls: DataFrame) -> None:
-        """urls(url string) → canonicalize, robots-gate, dedup, wave-0
-        frontier snapshot. Duplicate canonicals keep min depth (=0)."""
-        cand = _canon(urls.select("url"))
+        """urls(url string[, priority double]) → canonicalize, robots-gate,
+        dedup, wave-0 frontier snapshot. Duplicate canonicals keep min
+        depth (=0). A ``priority`` column, when present, overrides the
+        default crc32(url)-derived priority — real deployments rank seeds
+        by external signals (link-rank, freshness), not URL hashes; the
+        ordering contract only needs a total order on (priority, url)."""
+        has_priority = "priority" in urls.columns
+        sel = ["url", "priority"] if has_priority else ["url"]
+        src = urls.select(*sel)
+        if has_priority:
+            src = src.withColumnRenamed("priority", "_user_priority")
+        cand = _canon(src)
+        if has_priority:
+            cand = cand.withColumn(
+                "priority", F.coalesce("_user_priority", "priority")
+            ).drop("_user_priority")
         cand = apply_robots(cand, self.robots)
         front = (
             cand.groupBy("url")
             .agg(
                 F.first("host").alias("host"),
-                F.first("priority").alias("priority"),
+                # min, not first: duplicate canonicals with different
+                # user-supplied priorities must resolve deterministically
+                # (most-urgent wins; ordering is ascending). For the
+                # default crc32 priority this is a no-op (function of url).
+                F.min("priority").alias("priority"),
                 F.first("url_hash").alias("url_hash"),
             )
             .withColumn("depth", F.lit(0))

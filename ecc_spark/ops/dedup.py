@@ -252,8 +252,8 @@ FROM votes GROUP BY doc_id
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash per doc: per-token md5 → 16 bit votes → sign
     aggregate. Two hash-aggregations on (doc_id[, bit]) — no joins; near-dup
-    pairs then come from bucketing on simhash (equal hashes) or a
-    band-rotate join for hamming ≤ k."""
+    pairs then come from bucketing on simhash (equal hashes) or the banded
+    join in ``simhash_pairs`` for hamming ≤ k."""
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")).select(
         "doc_id", F.md5("t").alias("h")
@@ -284,12 +284,71 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+def simhash_pairs(
+    sh: DataFrame, k: int = 3, n_bands: int = 4, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via a banded self-join.
+
+    Pigeonhole: split the hash into ``n_bands`` equal bands; any pair
+    within hamming k < n_bands agrees EXACTLY on ≥1 band, so joining on
+    (band_idx, band_value) yields a candidate superset — never all-pairs —
+    and the exact bit_count(xor) filter settles each candidate. At
+    production scale the same plan runs over 64-bit hashes with 16-bit
+    bands (selective join keys); 16/4 here matches ``dedup_simhash`` so
+    the DuckDB oracle can state the identical result.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("bv", F.expr(f"(simhash >> (band * {band_bits})) & {mask}"))
+    a = bands.select(
+        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = bands.select(
+        "band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= k)
+        # a pair may agree on several bands — one row per pair
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sh AS (SELECT * FROM ({_SIMHASH_ORACLE}) q),
+bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS bv
+  FROM sh, unnest(generate_series(0, 3)) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_pairs(dedup_simhash(spark, sf))
+
+
 QUERIES.update(
     {
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
     }
 )
 ORACLES.update(
@@ -298,5 +357,6 @@ ORACLES.update(
         "dedup_ngram_jaccard": _NGRAM_ORACLE,
         "dedup_minhash_lsh": _MINHASH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
     }
 )

@@ -214,3 +214,30 @@ def test_incremental_ingest_is_exactly_once_per_delta(spark, tmp_path):
     assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sample["spans"]] == [
         (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want
     ]
+
+
+def test_simhash_pairs_band_join_hamming_semantics(spark):
+    """Pigeonhole contract of the banded simhash join (VERDICT r2 #7):
+    hamming ≤ k pairs MUST surface (some band is untouched by ≤3 flipped
+    bits), hamming > k pairs MUST NOT (the exact bit_count(xor) filter
+    settles every candidate, even ones that collide on a band)."""
+    from ecc_spark.ops.dedup import simhash_pairs
+
+    base = 0b1010_0101_1100_0011
+    rows = [
+        ("d0", base),
+        ("d1", base ^ 0b1),                  # hamming 1
+        ("d2", base ^ 0b0100_0010_0001),     # hamming 3 (three bands touched)
+        ("d3", base ^ 0b1111_1100_1100_0000),  # hamming 8, band 0 (bits 0-3) equal
+        ("d4", base),                        # hamming 0 (exact dup)
+    ]
+    sh = spark.createDataFrame(rows, schema="doc_id string, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(sh, k=3, n_bands=4, bits=16).collect()
+    }
+    assert got[("d0", "d1")] == 1
+    assert got[("d0", "d2")] == 3
+    assert got[("d0", "d4")] == 0
+    assert got[("d1", "d4")] == 1
+    assert not any("d3" in p for p in got), got  # hamming-8 never pairs
