@@ -430,7 +430,19 @@ class CrawlEngine:
                 self._bloom_bc.unpersist()
             self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
             bloom = self._bloom_bc
-        cand = filter_unseen(cand, new_seen, bloom, self.bloom_buckets)
+        # settle in two steps instead of against new_seen directly: the
+        # union seen ∪ fetched has unknown partitioning, so the exact
+        # settle join would shuffle the 10^10-row seen side every wave.
+        # Against the bucketed seen SCAN the big side is exchange-free;
+        # this wave's fetched delta (not yet in the scan) settles in a
+        # second, broadcast-sized anti-join. Set-equal because
+        # cand ⟍ (seen ∪ fetched) ≡ (cand ⟍ seen) ⟍ fetched, and the
+        # bloom (which covers the delta) only ever routes rows to the
+        # exact joins, never drops them. Both sides of the delta join are
+        # O(wave)-sized — AQE broadcasts when small, shuffles two deltas
+        # otherwise; the O(total) table never moves either way.
+        cand = filter_unseen(cand, seen, bloom, self.bloom_buckets)
+        cand = cand.join(fetched.select("url_hash"), "url_hash", "left_anti")
 
         # a URL discovered earlier but deferred by budget is still queued —
         # don't append it twice. Anti-join against the RAW appended-ever
