@@ -103,7 +103,15 @@ class SnapshotTable:
                 "schema": None,
             }
         with open(os.path.join(self.dir, f"_manifest.{v}.json"), encoding="utf-8") as fh:
-            return json.load(fh)
+            man = json.load(fh)
+        # an EXISTING table's mode is table metadata, not a caller opinion:
+        # a reader that opens `seen` without knowing it is bucketed must
+        # still resolve the bucketed layout (Iceberg reads table properties
+        # from the metadata file the same way)
+        self.append = man.get("append", self.append)
+        self.bucket_by = man.get("bucket_by", self.bucket_by)
+        self.n_buckets = man.get("n_buckets") or self.n_buckets
+        return man
 
     def _write_manifest(self, man: dict) -> None:
         """Publish a new metadata version as a brand-new file (O_EXCL):
