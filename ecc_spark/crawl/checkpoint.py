@@ -51,7 +51,7 @@ import json
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"_manifest\.(\d+)\.json$")
@@ -158,6 +158,13 @@ class SnapshotTable:
         reused (trim cannot resurrect an orphan under a recycled id)."""
         man = self._manifest()
         snap_id = man.get("next_id") or ((man["latest"] or 0) + 1)
+        obs = None
+        if rows is None:
+            # fold the row count into the write job itself (Observation
+            # rides the existing action) — a read-back count would be a
+            # second job over data we just wrote, every commit, forever
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if self.bucket_by:
             if man["schema"] is None:
                 man["schema"] = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
@@ -175,17 +182,11 @@ class SnapshotTable:
                 .format("parquet")
                 .saveAsTable(self.table_name)
             )
-            if rows is None:
-                rows = (
-                    self.spark.table(self.table_name)
-                    .filter(F.col("snap_id") == snap_id)
-                    .count()
-                )
         else:
             path = os.path.join(self.dir, f"snap={snap_id}")
             df.write.mode("overwrite").parquet(path)
-            if rows is None:
-                rows = self.spark.read.parquet(path).count()
+        if rows is None:
+            rows = int(obs.get["rows"])
         man["snapshots"].append({"id": snap_id, "wave": wave, "rows": rows})
         man["latest"] = snap_id
         man["next_id"] = snap_id + 1

@@ -101,10 +101,11 @@ class CrawlEngine:
         host_budget: int = 10,
         n_salts: int = 16,
         max_depth: int = 3,
-        use_bloom: bool = True,
+        use_bloom: bool | str = "auto",
         bloom_buckets: int = 64,
         bloom_bits: int = 1 << 20,
         bloom_broadcast_cap: int = 1 << 30,
+        bloom_min_seen: int = 2_000_000,
         n_buckets: int = 16,
         resume: bool = False,
     ):
@@ -114,14 +115,23 @@ class CrawlEngine:
         self.host_budget = host_budget
         self.n_salts = n_salts
         self.max_depth = max_depth
+        # "auto" (default): engage the bloom prefilter only once the seen
+        # set outgrows bloom_min_seen. Under the threshold the exact
+        # anti-join against the bucketed seen scan is broadcast-cheap and
+        # the bloom is pure overhead (a build job + a pandas-UDF stage per
+        # wave — measured ~25% of toy-scale wave time); past it, skipping
+        # most of a 10^10-row probe pays for both. Purely a physical-plan
+        # choice — the bloom never changes results (maybe-seen rows always
+        # settle in the exact join). True = always, False = never.
         self.use_bloom = use_bloom
+        self.bloom_min_seen = bloom_min_seen
         self.bloom_buckets = bloom_buckets
         self.bloom_bits = bloom_bits
         # path selection BY SIZE: the whole filter is bloom_buckets×m/8
         # bytes by construction; beyond the broadcast cap it must never be
         # driver/node-resident → sharded cogroup over a delta table
         self.bloom_sharded = (
-            use_bloom and bloom_buckets * (bloom_bits // 8) > bloom_broadcast_cap
+            bool(use_bloom) and bloom_buckets * (bloom_bits // 8) > bloom_broadcast_cap
         )
         # ALL state tables are append-only delta snapshots — commits are
         # O(delta), never O(total). The frontier in particular must not be
@@ -394,19 +404,31 @@ class CrawlEngine:
             (F.min("depth") + 1).alias("depth"),
         )
         bloom = None
-        if self.use_bloom and self.bloom_sharded:
+        engage_bloom = self.use_bloom is True or (
+            self.use_bloom == "auto" and base >= self.bloom_min_seen
+        )
+        if engage_bloom and self.bloom_sharded:
             # SHARDED bloom (beyond broadcast size): per-wave delta
             # bitmaps live in an append snapshot table; filter_unseen
             # cogroups candidates with the bucket's delta rows and ORs
             # them in place — the filter is never node-resident and no
             # merge job ever runs. Committing the delta BEFORE the
             # frontier commit keeps resume-trim consistent.
+            # first engagement mid-crawl (auto mode crossing the
+            # threshold, or resume after the delta table was trimmed to
+            # nothing): the delta table is missing every earlier wave, and
+            # a bloom false-negative would re-queue a seen URL — backfill
+            # this one delta from the FULL seen set (one O(total) pass,
+            # once), then return to O(delta) per wave.
+            src = fetched
+            if self.t_bloom.latest_id() is None and base > 0:
+                src = new_seen
             delta = build_bloom(
-                fetched.select("url_hash"), self.bloom_buckets, self.bloom_bits
+                src.select("url_hash"), self.bloom_buckets, self.bloom_bits
             )
             self.t_bloom.commit(delta, wave=wave, rows=self.bloom_buckets)
             bloom = self.t_bloom.read()  # unions deltas incl. this wave's
-        elif self.use_bloom:
+        elif engage_bloom:
             # BROADCAST bloom (fits on a node): build over this wave's
             # delta (full seen set once, on resume), collect the bucket
             # bitmaps, OR into the running dict, re-broadcast. The
@@ -485,6 +507,12 @@ class CrawlEngine:
         )
         self.t_runlog.commit(runlog, wave=wave, rows=len(runlog_rows))
         t = mark("commit_runlog", t)
+
+        if os.environ.get("ECC_PROFILE_WAVE"):
+            # perf triage only: runs the expansion lineage an extra time so
+            # commit_frontier splits into execute-vs-write
+            frontier_delta.count()
+            t = mark("expand_execute", t)
 
         # ← the commit point; O(delta) — the frontier is never rewritten
         self.t_frontier.commit(frontier_delta, wave=wave)

@@ -196,6 +196,47 @@ def test_sharded_bloom_selected_by_size_and_identical(spark, tmp_path, crawl_set
     assert s1 == s2
 
 
+def test_auto_bloom_engagement(spark, tmp_path, crawl_setup):
+    """use_bloom="auto" is a physical-plan choice only. Below the
+    threshold no bloom work runs at all; a mid-crawl engagement in
+    sharded mode must backfill the delta table from the full seen set
+    (a false-negative on an earlier wave's URL would re-queue it) — both
+    runs must equal the always-bloom seen set exactly."""
+    urls, robots, robots_df = crawl_setup
+    eng_ref, _ = _run_engine(spark, tmp_path / "a_ref", urls, robots_df, waves=3)
+    want = {tuple(r) for r in eng_ref.seen().select("url", "wave", "order_key").collect()}
+    urls_df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+
+    # threshold never reached → pure exact joins, zero bloom state
+    eng_off = CrawlEngine(
+        spark, str(tmp_path / "a_off"), robots=robots_df, host_budget=8,
+        n_salts=4, max_depth=2, use_bloom="auto", bloom_min_seen=10**9,
+        bloom_buckets=8,
+    )
+    eng_off.seed(urls_df)
+    eng_off.run(3)
+    assert eng_off.t_bloom.latest_id() is None
+    assert eng_off._bloom is None
+    got = {tuple(r) for r in eng_off.seen().select("url", "wave", "order_key").collect()}
+    assert got == want
+
+    # sharded transport + threshold crossed after wave 0 → first engaged
+    # wave backfills; earlier waves' URLs must not be re-queued
+    eng_mid = CrawlEngine(
+        spark, str(tmp_path / "a_mid"), robots=robots_df, host_budget=8,
+        n_salts=4, max_depth=2, use_bloom="auto", bloom_min_seen=1,
+        bloom_buckets=8, bloom_broadcast_cap=1024,
+    )
+    assert eng_mid.bloom_sharded
+    eng_mid.seed(urls_df)
+    eng_mid.run(1)
+    assert eng_mid.t_bloom.latest_id() is None  # wave 0: base=0 < threshold
+    eng_mid.run(2)
+    assert eng_mid.t_bloom.latest_id() is not None  # engaged + backfilled
+    got = {tuple(r) for r in eng_mid.seen().select("url", "wave", "order_key").collect()}
+    assert got == want
+
+
 def test_filter_unseen_sharded_equals_exact(spark):
     """Direct contract check of the cogroup path against the exact
     anti-join. The bloom arrives as TWO per-wave delta frames (so buckets
