@@ -42,6 +42,8 @@ HEADLINE = [
     "ann_ivf_bucketed",
     "lang_id",
     "doc_fingerprint",
+    "bm25_topk",
+    "repetition_quality",
     "context_window_join",
     "asof_join",
     "event_percentiles",

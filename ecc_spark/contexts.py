@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ecc_spark.rng import ReferenceRng, entity_processing_order, parity_sample_keys
-from ecc_spark.udfs import crop_sentences_udf, crop_tokens_udf, mask_context_udf
+from ecc_spark.udfs import crop_mask_udf
 
 
 def context_window(matches: DataFrame, pages: DataFrame, size: int) -> DataFrame:
@@ -130,23 +130,24 @@ def build_contexts(
     # AQE cannot see) into 1-2 tasks
     ctx = ctx.repartition(spark.sparkContext.defaultParallelism * 2, "mid")
 
-    cropped = (
-        crop_sentences_udf("window_context", "patterns")
-        if crop_sentences
-        else crop_tokens_udf("window_context")
-    )
-    ctx = ctx.withColumn("context", cropped).filter(
-        F.col("context").isNotNull()  # empty-crop drop (ref :296-298)
-    )
-    ctx = ctx.withColumn("masked_context", mask_context_udf("context", "patterns")).filter(
-        F.col("masked_context").isNotNull()  # zero-span drop (ref :337-338)
-    )
+    # ONE fused pandas UDF for crop+mask: the old crop→filter→mask chain
+    # shipped every context string across Arrow twice. masked_context is
+    # null exactly when the reference drops the row (empty crop :296-298
+    # or zero masked span :337-338) — one filter replaces both.
+    ctx = ctx.withColumn(
+        "_cm",
+        crop_mask_udf(
+            "window_context",
+            "patterns",
+            F.lit("sentences" if crop_sentences else "tokens"),
+        ),
+    ).filter(F.col("_cm.masked_context").isNotNull())
 
     return ctx.select(
         F.col("rid").alias("entity"),
         "entity_label",
         "mention",
         F.col("page").alias("page_title"),
-        "context",
-        "masked_context",
+        F.col("_cm.context").alias("context"),
+        F.col("_cm.masked_context").alias("masked_context"),
     )

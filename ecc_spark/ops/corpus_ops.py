@@ -1,0 +1,346 @@
+"""Corpus-level retrieval / quality operators for training-data pipelines.
+
+BM25 relevance scoring, corpus-wide frequent n-grams, Gopher-style
+repetition quality signals, and deterministic stratified sampling — the
+selection/filtering layer a 100 TB pretraining pipeline runs between
+dedup and tokenization (reference scope: the reference selects contexts
+per entity with LIMIT/shuffle, cmd/build_contexts_db.py:303-354; these
+generalize that selection to corpus-statistics-driven rules).
+
+Scale notes (100 TB lens):
+- bm25_topk: corpus stats (N, avgdl, per-term df) reduce to ONE row that
+  is broadcast back over the documents scan; per-doc scoring is pure
+  columnar math (no explode, no UDF) and the top-k compiles to
+  TakeOrderedAndProject — the only wide op is the 1-row aggregate.
+- ngram_topk: explode → hash-agg with map-side combine; the shuffle
+  carries (ngram, partial_count), never document text.
+- repetition_quality: two (doc_id, token)-keyed hash-aggs. Per-group
+  cardinality is bounded by document length, so no key is hotter than
+  the longest document — no skew story needed.
+- stratified_sample: stateless row-local predicate (md5 of a stable key)
+  — fully pushed into the scan, zero shuffles, reproducible across
+  engines and cluster sizes.
+
+Every formula uses engine-portable primitives (string_split / md5 /
+conv / round) so the DuckDB oracle states the same computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecc_spark.ops.tables import load
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+# -- BM25 -------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window", "hash"]
+_K1, _B = 1.2, 0.75
+_TOPK = 50
+
+
+def _tf(term: str):
+    # closure, not a default arg: a (x, t=term) lambda would be treated
+    # as a two-arg (element, index) higher-order function by pyspark
+    return F.size(F.filter("toks", lambda x: x == term))
+
+
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 of a fixed query against every document; top 50.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the non-negative variant
+    Lucene uses); score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 - b +
+    b·dl/avgdl)). Ties broken by doc_id so the cut is deterministic.
+    """
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .withColumn("dl", F.size("toks"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int")).alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))  # 1-row corpus stats, no shuffle
+    score = None
+    for i, t in enumerate(_BM25_TERMS):
+        tf = _tf(t).cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        part = idf * tf * (_K1 + 1) / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        score = part if score is None else score + part
+    return (
+        scored.filter(F.col("dl") > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_TOPK)
+    )
+
+
+def _bm25_oracle() -> str:
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    parts = " + ".join(
+        f"(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * len(list_filter(toks, x -> x = '{t}'))::DOUBLE * {_K1 + 1}"
+        f" / (len(list_filter(toks, x -> x = '{t}'))::DOUBLE"
+        f" + {_K1} * (1 - {_B} + {_B} * dl / avgdl)))"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM d)
+SELECT doc_id, ROUND({parts}, 6) AS bm25
+FROM d, s WHERE dl > 0
+ORDER BY bm25 DESC, doc_id LIMIT {_TOPK}
+"""
+
+
+# -- frequent n-grams -------------------------------------------------
+
+_NGRAM_N = 3
+_NGRAM_TOPK = 20
+
+
+def ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top corpus-wide word 3-grams — the boilerplate detector feeding
+    dedup_ngram_jaccard's shingle-DF cap and quality blocklists."""
+    d = load(spark, sf, "documents").select(F.split("text", " ").alias("w"))
+    d = d.filter(F.size("w") >= _NGRAM_N)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("w") - _NGRAM_N),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, _NGRAM_N)),
+    )
+    return (
+        d.select(F.explode(shingles).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(_NGRAM_TOPK)
+    )
+
+
+_NGRAM_ORACLE = f"""
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest([array_to_string(w[i+1:i+{_NGRAM_N}], ' ')
+                 for i in generate_series(0, len(w) - {_NGRAM_N})]) AS ngram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= {_NGRAM_N})
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {_NGRAM_TOPK}
+"""
+
+
+# -- repetition quality (Gopher-style) --------------------------------
+
+
+def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1-style): distinct
+    token ratio, most-frequent-token dominance, duplicate-3-gram
+    fraction. Two (doc_id, value) hash-aggs — group cardinality is
+    bounded by document length, so the shuffle has no hot keys."""
+    base = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= _NGRAM_N)
+
+    toks = base.select("doc_id", F.explode("w").alias("tok"))
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_tok"),
+        )
+    )
+
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("w") - _NGRAM_N),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, _NGRAM_N)),
+    )
+    gram_stats = (
+        base.select("doc_id", F.explode(shingles).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count("*").cast("long").alias("n_distinct_grams"),
+        )
+    )
+
+    out = tok_stats.join(gram_stats, "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top_tok").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(
+            1.0 - F.col("n_distinct_grams").cast("double") / F.col("n_grams"), 6
+        ).alias("dup_3gram_frac"),
+    )
+
+
+_REP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_NGRAM_N}),
+tok AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_tok
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tok FROM base) GROUP BY 1, 2)
+  GROUP BY doc_id),
+gram AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_distinct_grams
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(w[i+1:i+{_NGRAM_N}], ' ')
+                             for i in generate_series(0, len(w) - {_NGRAM_N})]) AS g
+              FROM base) GROUP BY 1, 2)
+  GROUP BY doc_id)
+SELECT tok.doc_id, n_tokens,
+       ROUND(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+       ROUND(top_tok::DOUBLE / n_tokens, 6) AS top_token_frac,
+       ROUND(1.0 - n_distinct_grams::DOUBLE / n_grams, 6) AS dup_3gram_frac
+FROM tok JOIN gram ON tok.doc_id = gram.doc_id
+"""
+
+
+# -- stratified sampling ----------------------------------------------
+
+# per-stratum keep rates out of 100 — downsample the over-represented
+# language to rebalance the mix (the usual pretraining-mix operation)
+_STRATA_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 100}
+_DEFAULT_RATE = 25
+
+
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sample: keep a doc iff the first 8 hex
+    digits of md5(lang|doc_id) land under the stratum's rate. Row-local
+    and seedless — the same rows survive on any engine, any cluster
+    size, any partitioning (unlike rand()-based sampling)."""
+    d = load(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("lang"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+_STRAT_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items()
+)
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, bucket FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat_ws('|', lang, CAST(doc_id AS VARCHAR))), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents)
+WHERE bucket < (CASE {_STRAT_CASE} ELSE {_DEFAULT_RATE} END)
+"""
+
+
+# -- PII redaction ----------------------------------------------------
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# no backrefs, no lookaround
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+# emails first: an email's domain must not later match as a bare host/IP
+_PII_ORDER = ["email", "ip", "phone"]
+
+
+def redact_col(text_col):
+    """(redacted_text, counts) column expressions — row-local regexes,
+    fully pushed into the scan; reused by the query and by unit tests."""
+    counts = {
+        k: F.size(F.regexp_extract_all(text_col, F.lit(_PII_PATTERNS[k]), 0))
+        for k in _PII_ORDER
+    }
+    red = text_col
+    for k in _PII_ORDER:
+        red = F.regexp_replace(red, _PII_PATTERNS[k], f"<{k.upper()}>")
+    return red, counts
+
+
+def pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Email / IPv4 / phone redaction with per-doc counts — the scrub a
+    pretraining pipeline runs before tokenization. Stateless row-local
+    regexes: zero shuffles, scales linearly with the scan."""
+    d = load(spark, sf, "documents")
+    red, counts = redact_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[counts[k].cast("long").alias(f"n_{k}") for k in _PII_ORDER],
+        red.alias("red_text"),
+    )
+
+
+_red_sql = "text"
+for _k in _PII_ORDER:
+    _red_sql = f"regexp_replace({_red_sql}, '{_PII_PATTERNS[_k]}', '<{_k.upper()}>', 'g')"
+_PII_ORACLE = f"""
+SELECT doc_id,
+       {", ".join(f"CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}" for k in _PII_ORDER)},
+       {_red_sql} AS red_text
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "bm25_topk": bm25_topk,
+        "pii_redact": pii_redact,
+        "ngram_topk": ngram_topk,
+        "repetition_quality": repetition_quality,
+        "stratified_sample": stratified_sample,
+    }
+)
+ORACLES.update(
+    {
+        "bm25_topk": _bm25_oracle(),
+        "pii_redact": _PII_ORACLE,
+        "ngram_topk": _NGRAM_ORACLE,
+        "repetition_quality": _REP_ORACLE,
+        "stratified_sample": _STRAT_ORACLE,
+    }
+)

@@ -13,7 +13,7 @@ def _modules():
     mods = [relational, analytics]
     for name in (
         "textops", "dedup", "similarity", "multimodal", "pipeline_ops",
-        "crawl_ops", "advanced", "bucketing",
+        "crawl_ops", "advanced", "bucketing", "corpus_ops",
     ):
         try:
             mod = __import__(f"ecc_spark.ops.{name}", fromlist=[name])

@@ -117,6 +117,49 @@ def mask_context_udf(context: pd.Series, patterns: pd.Series) -> pd.Series:
     return pd.Series([go(r) for r in zip(context, patterns)])
 
 
+CROP_MASK = T.StructType(
+    [
+        T.StructField("context", T.StringType(), True),
+        T.StructField("masked_context", T.StringType(), True),
+    ]
+)
+
+
+@F.pandas_udf(CROP_MASK)
+def crop_mask_udf(context: pd.Series, patterns: pd.Series, mode: pd.Series) -> pd.DataFrame:
+    """OPS-32/33/34 fused: crop (token or sentence mode) + maximal-span
+    masking in ONE Arrow round trip — the separate crop→filter→mask
+    chain shipped every context string across the Python boundary twice
+    (measured ~30% of phase-2 wall). masked_context is null when the
+    crop emptied the row or no span survived (ref :296-298, :337-338);
+    masked notnull ⟹ context notnull, so callers filter once."""
+    get = _matcher_cache()
+    ctxs: list[str | None] = []
+    masked: list[str | None] = []
+    for c, pats, m in zip(context, patterns, mode):
+        if c is None:
+            ctxs.append(None)
+            masked.append(None)
+            continue
+        pl = [] if pats is None else list(pats)
+        if m == "sentences":
+            cc = X.crop_context_sentences(c, get(pl)) or None
+        else:
+            cc = X.crop_context_tokens(c) or None
+        ctxs.append(cc)
+        masked.append(None if cc is None else X.mask_context(cc, get(pl)))
+    return pd.DataFrame({"context": ctxs, "masked_context": masked})
+
+
+# optimizer fence, not a semantics claim: the function IS deterministic,
+# but CollapseProject otherwise inlines the struct-returning UDF into
+# BOTH the masked-notnull filter and the field-extraction projection —
+# two full evaluations per row (verified in the physical plan). Marking
+# it nondeterministic pins one ArrowEvalPython node whose result both
+# consumers share.
+crop_mask_udf = crop_mask_udf.asNondeterministic()
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def sentences_udf(txt: pd.Series) -> pd.Series:
     """Sentencize to an array (explode downstream) — used by text-analysis ops."""

@@ -1,0 +1,134 @@
+"""Corpus-operator tests: each new op is recomputed in pure Python over
+the sf0.001 documents table and compared exactly (independent of the
+DuckDB oracle, which tests/test_driver_contract.py already runs)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+
+import pyspark.sql.functions as F
+
+from ecc_spark.ops.corpus_ops import (
+    redact_col,
+    _BM25_TERMS,
+    _DEFAULT_RATE,
+    _K1,
+    _NGRAM_N,
+    _STRATA_RATES,
+    _TOPK,
+    _B,
+    bm25_topk,
+    ngram_topk,
+    repetition_quality,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_bm25_matches_pure_python(spark):
+    docs = [(i, t.lower().split(" ")) for i, t, _ in _docs()]
+    n = len(docs)
+    avgdl = sum(len(w) for _, w in docs) / n
+    df = {t: sum(1 for _, w in docs if t in w) for t in _BM25_TERMS}
+    scores = []
+    for i, w in docs:
+        dl = len(w)
+        if dl == 0:
+            continue
+        s = 0.0
+        for t in _BM25_TERMS:
+            tf = w.count(t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (_K1 + 1) / (tf + _K1 * (1 - _B + _B * dl / avgdl))
+        scores.append((round(s, 6), i))
+    want = sorted(scores, key=lambda p: (-p[0], p[1]))[:_TOPK]
+
+    got = [(r["bm25"], r["doc_id"]) for r in bm25_topk(spark, SF).collect()]
+    assert got == want
+
+
+def test_ngram_topk_matches_pure_python(spark):
+    cnt = Counter()
+    for _, t, _ in _docs():
+        w = t.split(" ")
+        for i in range(len(w) - _NGRAM_N + 1):
+            cnt[" ".join(w[i : i + _NGRAM_N])] += 1
+    want = sorted(cnt.items(), key=lambda p: (-p[1], p[0]))[:20]
+    got = [(r["ngram"], r["cnt"]) for r in ngram_topk(spark, SF).collect()]
+    assert got == want
+
+
+def test_repetition_quality_matches_pure_python(spark):
+    got = {r["doc_id"]: r for r in repetition_quality(spark, SF).collect()}
+    checked = 0
+    for i, t, _ in _docs():
+        w = t.split(" ")
+        if len(w) < _NGRAM_N:
+            assert i not in got
+            continue
+        toks = Counter(w)
+        grams = Counter(
+            " ".join(w[j : j + _NGRAM_N]) for j in range(len(w) - _NGRAM_N + 1)
+        )
+        r = got[i]
+        assert r["n_tokens"] == len(w)
+        assert r["distinct_ratio"] == round(len(toks) / len(w), 6)
+        assert r["top_token_frac"] == round(max(toks.values()) / len(w), 6)
+        assert r["dup_3gram_frac"] == round(1.0 - len(grams) / sum(grams.values()), 6)
+        checked += 1
+    assert checked == len(got)
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    want = set()
+    for i, _, lang in _docs():
+        h = hashlib.md5(f"{lang}|{i}".encode()).hexdigest()
+        bucket = int(h[:8], 16) % 100
+        if bucket < _STRATA_RATES.get(lang, _DEFAULT_RATE):
+            want.add((i, lang, bucket))
+    got1 = {tuple(r) for r in stratified_sample(spark, SF).collect()}
+    got2 = {tuple(r) for r in stratified_sample(spark, SF).collect()}
+    assert got1 == want
+    assert got1 == got2
+    # every configured stratum contributes (rates are all > 0)
+    langs = {lang for _, lang, _ in got1}
+    assert set(_STRATA_RATES) <= langs
+
+
+def test_redact_col_crafted_strings(spark):
+    # the sf tables contain no PII (counts all 0 there — the driver
+    # oracle run is structural), so the regexes are pinned here
+    cases = [
+        ("write to alice.smith+x@mail.example.org now",
+         "write to <EMAIL> now", (1, 0, 0)),
+        ("server at 192.168.0.1 and 10.0.0.255.",
+         "server at <IP> and <IP>.", (0, 2, 0)),
+        ("call 555-123-4567 or 555.987.6543",
+         "call <PHONE> or <PHONE>", (0, 0, 2)),
+        ("no pii here", "no pii here", (0, 0, 0)),
+        # version strings are NOT IPv4 (word boundary + 4 octets)
+        ("v1.2.3 release", "v1.2.3 release", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame([(s,) for s, _, _ in cases], schema="s string")
+    red, counts = redact_col(F.col("s"))
+    got = df.select(
+        red.alias("r"),
+        counts["email"].alias("e"), counts["ip"].alias("i"), counts["phone"].alias("p"),
+    ).collect()
+    for (s, want_r, (we, wi, wp)), row in zip(cases, got):
+        assert row["r"] == want_r, s
+        assert (row["e"], row["i"], row["p"]) == (we, wi, wp), s
