@@ -115,6 +115,24 @@ MARKUP_SCHEMA = T.StructType(
 )
 
 
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on ingest: drop re-arrivals of the same
+    content hash (md5 of text) within the watermark horizon.
+
+    Uses dropDuplicatesWithinWatermark, so the dedup state is BOUNDED by
+    the watermark — plain dropDuplicates on a stream accumulates one
+    state row per distinct document forever, which on an endless crawl
+    is the unbounded-state bug. Cross-horizon (forever) dedup is the
+    batch operator's job (ops.dedup.dedup_exact over the accumulated
+    table); this operator keeps the hot ingest path clean, the way a
+    100 TB pipeline splits online vs offline dedup."""
+    return (
+        stream.withColumn("content_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def incremental_ingest(
     spark: SparkSession, markup_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -155,6 +155,49 @@ def test_stream_batch_parity(spark, tmp_path):
     assert got == want
 
 
+def test_dedup_stream_matches_batch_within_watermark(spark, tmp_path):
+    """Streaming exact dedup drops cross-batch re-arrivals within the
+    watermark; surviving content-hash set == batch dropDuplicates."""
+    import pandas as pd
+
+    from ecc_spark.streaming import dedup_stream, run_to_memory
+
+    srcdir = tmp_path / "docs_stream"
+    srcdir.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon", "gamma delta"]
+    # two files → two micro-batches; duplicates land in the SECOND batch
+    pd.DataFrame(
+        {"doc_id": [0, 1], "ts": [base, base], "text": texts[:2]}
+    ).to_parquet(srcdir / "part-0.parquet", coerce_timestamps="us")
+    pd.DataFrame(
+        {
+            "doc_id": [2, 3, 4],
+            "ts": [base + pd.Timedelta(minutes=m) for m in (5, 6, 7)],
+            "text": texts[2:],
+        }
+    ).to_parquet(srcdir / "part-1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(srcdir))
+    )
+    out = dedup_stream(stream, watermark="1 hour")
+    run_to_memory(out, "dedup_stream_out", mode="append")
+    got = {r["content_hash"] for r in spark.sql("SELECT * FROM dedup_stream_out").collect()}
+    n_got = spark.sql("SELECT count(*) AS n FROM dedup_stream_out").collect()[0]["n"]
+    want = {
+        r["content_hash"]
+        for r in spark.read.parquet(str(srcdir))
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+        .collect()
+    }
+    assert got == want
+    assert n_got == 3  # one survivor per distinct content, re-arrivals drop
+
+
 def test_ngram_jaccard_df_cap_bounds_hot_shingle_pairs(spark):
     """A corpus-boilerplate shingle shared by every doc must not create
     quadratic candidate pairs (VERDICT r1 'What's wrong' #2): with the DF
