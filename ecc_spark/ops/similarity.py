@@ -154,10 +154,106 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return sims.select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
 
 
+_NPROBE = 2
+
+_MP_ORACLE = f"""
+WITH cent AS (
+  SELECT label, list(ROUND(m, 6) ORDER BY i) AS centroid FROM (
+    SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i) GROUP BY label
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20),
+cellrank AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, cent.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(
+               list_sum([CAST(q.embedding[i] AS DOUBLE) * centroid[i]
+                         for i in generate_series(1, 64)])
+               / ({_NORM_SQL.format(t='q')}
+                  * sqrt(list_sum([centroid[i] * centroid[i]
+                                   for i in generate_series(1, 64)]))), 6) DESC,
+               cent.label) AS rnk
+    FROM q, cent) WHERE rnk <= {_NPROBE}
+),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL} / ({_NORM_SQL.format(t='q')} * {_NORM_SQL.format(t='c')}) AS sim
+  FROM q
+  JOIN cellrank cr ON cr.query_id = q.query_id
+  JOIN embeddings c ON c.label = cr.label AND c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(sim, 6) DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf: str, nprobe: int = _NPROBE) -> DataFrame:
+    """IVF with TRAINED centroids and multi-probe: per-cell centroids are
+    computed from the data (posexplode → (label, pos) avg — the k-means
+    'assignment step' output FAISS IVF trains offline), each query ranks
+    cells by centroid cosine and probes the top nprobe — recall recovers
+    for queries near cell boundaries, cost stays nprobe/cells of a scan.
+
+    Scale shape: the centroid table is n_cells×dim (tiny → broadcast);
+    cell ranking is a broadcast nested-loop over n_cells per query; only
+    the probed cells' candidates are scanned. Centroid components are
+    rounded to 6 dp BEFORE use so the probe choice is reproducible
+    across engines (float-sum order in avg differs between Spark
+    partial aggregates and the sequential oracle)."""
+    e = load(spark, sf, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label", F.transform("pm", lambda s: F.round(s["m"], 6)).alias("centroid")
+        )
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(cent))
+    cell_sim = _dot("q_emb", "centroid") / (_norm("q_emb") * _norm("centroid"))
+    wc = W.partitionBy("query_id").orderBy(F.round(cell_sim, 6).desc(), "label")
+    probed = (
+        qc.withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "q_emb", F.col("label").alias("cell"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+    j = c.join(F.broadcast(probed), ["cell"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = j.select(
+        "query_id",
+        "neighbor_id",
+        (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank")
+    )
+
+
 QUERIES.update(
     {
         "ann_topk_cosine": ann_topk_cosine,
         "ann_ivf_bucketed": ann_ivf_bucketed,
+        "ann_ivf_multiprobe": ann_ivf_multiprobe,
         "embedding_near_dup": embedding_near_dup,
     }
 )
@@ -165,6 +261,7 @@ ORACLES.update(
     {
         "ann_topk_cosine": _TOPK_ORACLE,
         "ann_ivf_bucketed": _IVF_ORACLE,
+        "ann_ivf_multiprobe": _MP_ORACLE,
         "embedding_near_dup": _NEARDUP_ORACLE,
     }
 )

@@ -62,6 +62,42 @@ def test_ann_bruteforce_topk_monotone(spark):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_multiprobe_all_cells_equals_brute_force(spark):
+    """With nprobe = all cells the probed candidate set is the whole
+    corpus, so multi-probe IVF must return exactly the brute-force
+    top-5 for every query; with the default nprobe it can only be a
+    degradation, never a different metric."""
+    from ecc_spark.ops.similarity import _dot, _norm, ann_ivf_multiprobe
+
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ann_ivf_multiprobe(spark, SF, nprobe=10).collect()
+    }
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    from pyspark.sql.window import Window as W
+
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["sim"], 6))
+        for r in sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert full == brute
+
+
 def test_multimodal_features_deterministic_and_shaped(spark):
     media = synth_media(spark, n=60)
     f1 = {r["media_ref"]: (r["mean"], r["std"]) for r in decode_features(media).collect()}
