@@ -25,6 +25,16 @@ _WORDS = (
 ).split()
 
 
+def fetch_ok(canonical_url: str, wave: int, failure_permille: int) -> bool:
+    """Deterministic TRANSIENT failure: ~failure_permille/1000 of fetches
+    fail, keyed on (url, wave) so the same URL usually succeeds when the
+    frontier retries it next wave — the shape of real timeouts/5xx.
+    Pure function shared with the reference crawler mirror."""
+    if not failure_permille:
+        return True
+    return zlib.crc32(f"{canonical_url}#f{wave}".encode("utf-8")) % 1000 >= failure_permille
+
+
 def simulate_fetch(canonical_url: str, n_hosts: int = 50, max_fanout: int = 6) -> str:
     """Markup content for a URL: realistic page weight (tens of
     paragraphs, ~10-40 KB — Wikipedia wikitext averages ~30 KB) with

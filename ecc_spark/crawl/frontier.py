@@ -107,6 +107,7 @@ class CrawlEngine:
         bloom_broadcast_cap: int = 1 << 30,
         bloom_min_seen: int = 2_000_000,
         n_buckets: int = 16,
+        failure_permille: int = 0,
         resume: bool = False,
     ):
         self.spark = spark
@@ -115,6 +116,11 @@ class CrawlEngine:
         self.host_budget = host_budget
         self.n_salts = n_salts
         self.max_depth = max_depth
+        # transient fetch failures (fetchsim.fetch_ok): a failed URL is
+        # NOT marked seen, so the append-only queue view (ever ⟍ seen)
+        # reschedules it next wave automatically — retries need no retry
+        # queue, no state, no rewrite. 0 = never fail (test/bench default)
+        self.failure_permille = failure_permille
         # "auto" (default): engage the bloom prefilter only once the seen
         # set outgrows bloom_min_seen. Under the threshold the exact
         # anti-join against the bucketed seen scan is broadcast-cheap and
@@ -168,9 +174,21 @@ class CrawlEngine:
             self.t_bloom.trim_to_wave(lw)
             self.next_wave = 0 if lw is None else lw + 1
             self._seen_count = self.t_seen.latest_rows() or 0
+            # order keys are assigned to every SCHEDULED row (including
+            # fetches that then fail and never enter seen), so the resume
+            # base is the scheduled total from the run_log — resuming
+            # from the seen row count would re-issue the burned keys of
+            # failed fetches. Equal to seen count when failures are off.
+            self._order_base = self._seen_count
+            if self.t_runlog.latest_id() is not None:
+                rl = self.t_runlog.read()
+                if rl is not None:
+                    tot = rl.agg(F.sum("scheduled").alias("s")).collect()[0]["s"]
+                    self._order_base = int(tot or 0)
         else:
             self.next_wave = 0
             self._seen_count = 0
+            self._order_base = 0
 
     # -- state ---------------------------------------------------------
     def frontier(self) -> DataFrame | None:
@@ -242,6 +260,7 @@ class CrawlEngine:
         self.t_frontier.commit(front, wave=-1)
         self.next_wave = 0
         self._seen_count = 0
+        self._order_base = 0
         self._bloom = None
         if self._bloom_bc is not None:
             self._bloom_bc.unpersist()
@@ -293,18 +312,27 @@ class CrawlEngine:
 
         out_schema = (
             "url string, url_hash long, host string, priority double, "
-            "depth int, order_key long, outlinks array<string>, n_spans int"
+            "depth int, order_key long, outlinks array<string>, n_spans int, "
+            "ok boolean"
         )
+        wave = self.next_wave
+        failure_permille = self.failure_permille
 
         def fused(it):
-            from ecc_spark.crawl.fetchsim import simulate_fetch
+            from ecc_spark.crawl.fetchsim import fetch_ok, simulate_fetch
             from ecc_spark.ingest import parse_markup
 
             for pdf in it:
                 if not len(pdf):
                     continue
-                outlinks, nspans = [], []
+                outlinks, nspans, oks = [], [], []
                 for u in pdf["url"]:
+                    ok = fetch_ok(u, wave, failure_permille)
+                    oks.append(ok)
+                    if not ok:  # transient failure: no content, no links
+                        outlinks.append([])
+                        nspans.append(0)
+                        continue
                     spans = parse_markup(simulate_fetch(u))
                     outlinks.append(
                         [s["media_ref"] for s in spans if s["kind"] == "link"]
@@ -320,6 +348,7 @@ class CrawlEngine:
                         "order_key": pdf["order_key"].to_numpy(),
                         "outlinks": outlinks,
                         "n_spans": nspans,
+                        "ok": oks,
                     }
                 )
 
@@ -349,7 +378,8 @@ class CrawlEngine:
         frontier = self.frontier()
         appended_before = self.t_frontier.latest_rows() or 0
         seen = self.seen() or self._empty_seen()
-        base = self._seen_count  # order_key continues across waves (no job)
+        seen_before = self._seen_count
+        base = self._order_base  # order_key continues across waves (no job)
 
         # schedule: per-host budget, then ONE fused Python stage that
         # assigns the explicit crawl order AND fetches+extracts — the
@@ -374,21 +404,23 @@ class CrawlEngine:
                 .alias("partition_id")
             )
             .agg(
-                # fetchsim never fails a fetch, so scheduled == fetched by
-                # construction; the run_log keeps both columns (lineage
-                # schema) fed from the single count.
                 F.count("*").alias("scheduled"),
+                F.sum(F.col("ok").cast("long")).alias("fetched"),
                 F.coalesce(F.sum("n_spans"), F.lit(0)).alias("extracted"),
             )
             .collect()
         )
         n_scheduled = sum(r["scheduled"] for r in runlog_rows)
+        n_fetched = int(sum(r["fetched"] or 0 for r in runlog_rows))
         extracted = int(sum(r["extracted"] for r in runlog_rows))
         t = mark("schedule_fetch", t0)
 
-        # seen ∪ scheduled
+        # seen ∪ successfully-fetched: failed rows are NOT marked seen, so
+        # the queue view (ever ⟍ seen) reschedules them next wave — the
+        # append-only frontier gives retries for free
+        ok_rows = fetched.filter(F.col("ok"))
         new_seen = seen.unionByName(
-            fetched.select("url_hash", "url", F.lit(wave).alias("wave"), "order_key")
+            ok_rows.select("url_hash", "url", F.lit(wave).alias("wave"), "order_key")
         )
 
         # expand: outlinks → canonicalize → robots → in-wave dedup →
@@ -405,7 +437,7 @@ class CrawlEngine:
         )
         bloom = None
         engage_bloom = self.use_bloom is True or (
-            self.use_bloom == "auto" and base >= self.bloom_min_seen
+            self.use_bloom == "auto" and seen_before >= self.bloom_min_seen
         )
         if engage_bloom and self.bloom_sharded:
             # SHARDED bloom (beyond broadcast size): per-wave delta
@@ -420,8 +452,8 @@ class CrawlEngine:
             # a bloom false-negative would re-queue a seen URL — backfill
             # this one delta from the FULL seen set (one O(total) pass,
             # once), then return to O(delta) per wave.
-            src = fetched
-            if self.t_bloom.latest_id() is None and base > 0:
+            src = ok_rows
+            if self.t_bloom.latest_id() is None and seen_before > 0:
                 src = new_seen
             delta = build_bloom(
                 src.select("url_hash"), self.bloom_buckets, self.bloom_bits
@@ -436,7 +468,7 @@ class CrawlEngine:
             # are complete (waves are synchronous), and without this the
             # JVM leaks one bloom copy per wave over a long crawl.
             src = (
-                new_seen if (self._bloom is None and wave > 0) else fetched
+                new_seen if (self._bloom is None and wave > 0) else ok_rows
             ).select("url_hash")
             delta = build_bloom(src, self.bloom_buckets, self.bloom_bits).collect()
             if self._bloom is None:
@@ -488,18 +520,19 @@ class CrawlEngine:
         # trims (trim_to_wave); a crash after it leaves a fully-committed
         # wave. Seen delta only — append table.
         self.t_seen.commit(
-            fetched.select("url_hash", "url", F.lit(wave).alias("wave"), "order_key"),
+            ok_rows.select("url_hash", "url", F.lit(wave).alias("wave"), "order_key"),
             wave=wave,
-            rows=n_scheduled,
+            rows=n_fetched,
         )
-        self._seen_count = base + n_scheduled
+        self._seen_count = seen_before + n_fetched
+        self._order_base = base + n_scheduled
         t = mark("commit_seen", t)
 
         snap_id = self.t_seen.latest_id() or 0
         runlog = self.spark.createDataFrame(
             [
-                (wave, snap_id, r["partition_id"], r["scheduled"], r["scheduled"],
-                 int(r["extracted"]))
+                (wave, snap_id, r["partition_id"], r["scheduled"],
+                 int(r["fetched"] or 0), int(r["extracted"]))
                 for r in runlog_rows
             ] or [(wave, snap_id, 0, 0, 0, 0)],
             schema="wave int, snapshot_id long, partition_id int, "
@@ -530,7 +563,7 @@ class CrawlEngine:
         return WaveMetrics(
             wave=wave,
             scheduled=n_scheduled,
-            fetched=n_scheduled,
+            fetched=n_fetched,
             extracted=extracted,
             new_urls=n_new,
             seconds=time.time() - t0,

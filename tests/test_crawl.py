@@ -237,6 +237,46 @@ def test_auto_bloom_engagement(spark, tmp_path, crawl_setup):
     assert got == want
 
 
+def test_fetch_failures_retry_without_duplicates(spark, tmp_path, crawl_setup):
+    """Transient fetch failures: the failed URL is not marked seen, so
+    the append-only queue reschedules it; retries must never fetch a URL
+    twice nor reuse an order key (keys burned by failed fetches stay
+    burned — also across a resume, via the run_log scheduled total)."""
+    urls, robots, robots_df = crawl_setup
+    urls_df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    eng = CrawlEngine(
+        spark, str(tmp_path / "ff1"), robots=robots_df, host_budget=8,
+        n_salts=4, max_depth=2, use_bloom=False, failure_permille=300,
+    )
+    eng.seed(urls_df)
+    res = eng.run(2)
+    assert any(w.fetched < w.scheduled for w in res.waves)  # failures happened
+    assert all(w.fetched <= w.scheduled for w in res.waves)
+
+    # crash here; a resumed engine must not re-issue burned order keys
+    eng2 = CrawlEngine(
+        spark, str(tmp_path / "ff1"), robots=robots_df, host_budget=8,
+        n_salts=4, max_depth=2, use_bloom=False, failure_permille=300,
+        resume=True,
+    )
+    assert eng2._order_base == sum(w.scheduled for w in res.waves)
+    res2 = eng2.run(2)
+
+    seen = eng2.seen().collect()
+    urls_seen = [r["url"] for r in seen]
+    keys = [r["order_key"] for r in seen]
+    assert len(set(urls_seen)) == len(urls_seen)  # no double fetch
+    assert len(set(keys)) == len(keys)  # no order-key reuse
+    # retries landed: some URL scheduled-and-failed in wave k appears in
+    # seen with a later wave
+    waves_by_url = {r["url"]: r["wave"] for r in seen}
+    total_sched = sum(w.scheduled for w in res.waves + res2.waves)
+    total_fetch = sum(w.fetched for w in res.waves + res2.waves)
+    assert total_sched > total_fetch  # failures across the run
+    assert len(seen) == total_fetch
+    assert max(waves_by_url.values()) >= 2  # later waves kept fetching
+
+
 def test_filter_unseen_sharded_equals_exact(spark):
     """Direct contract check of the cogroup path against the exact
     anti-join. The bloom arrives as TWO per-wave delta frames (so buckets
