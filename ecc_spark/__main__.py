@@ -168,7 +168,8 @@ def cmd_crawl(args) -> int:
         robots = spark.read.parquet(args.robots_parquet)
     eng = CrawlEngine(
         spark, args.workdir, robots=robots, host_budget=args.host_budget,
-        n_salts=args.n_salts, max_depth=args.max_depth, resume=args.resume,
+        n_salts=args.n_salts, max_depth=args.max_depth,
+        failure_permille=args.failure_permille, resume=args.resume,
     )
     if not args.resume:
         with open(args.seeds_txt, encoding="utf-8") as fh:
@@ -177,8 +178,8 @@ def cmd_crawl(args) -> int:
     res = eng.run(args.waves)
     for w in res.waves:
         print(
-            f"wave {w.wave}: scheduled={w.scheduled} extracted={w.extracted} "
-            f"new={w.new_urls} {w.seconds:.1f}s"
+            f"wave {w.wave}: scheduled={w.scheduled} fetched={w.fetched} "
+            f"extracted={w.extracted} new={w.new_urls} {w.seconds:.1f}s"
         )
     return 0
 
@@ -239,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-salts", type=int, default=16)
     p.add_argument("--max-depth", type=int, default=3)
     p.add_argument("--waves", type=int, default=3)
+    p.add_argument("--failure-permille", type=int, default=0,
+                   help="simulate transient fetch failures (0-1000); "
+                        "failed URLs retry next wave via the queue view")
     p.add_argument("--resume", action="store_true")
     p.set_defaults(func=cmd_crawl)
 
