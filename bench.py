@@ -113,6 +113,10 @@ def main() -> int:
         fn = qs[name]
         ts = []
         for _ in range(RUNS):
+            # operators that persist internal frames (ngram posting lists)
+            # would otherwise hand their cache to the next run — min-of-N
+            # must measure the operator, not the residue
+            spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
