@@ -326,10 +326,76 @@ FROM documents
 """
 
 
+# -- sequence packing -------------------------------------------------
+
+_SEQ_LEN = 2048
+_PACK_BUCKET = 10_000  # docs per prefix-sum bucket
+_TOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def pack_sequences(
+    spark: SparkSession, sf: str, seq_len: int = _SEQ_LEN, bucket_span: int = _PACK_BUCKET
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in doc_id order are
+    laid head-to-tail in token space; each doc reports its global start
+    offset and the fixed-length pack its start falls in — the final
+    step before a pretraining dataloader.
+
+    The global running sum is NOT a single unpartitioned window (one
+    task holding 10^10 rows): doc_ids are bucketed, per-bucket token
+    sums collect to the driver (n_docs/bucket_span rows — tiny), the
+    prefix offsets broadcast back, and the window runs WITHIN each
+    bucket — the same two-phase pattern the crawl's order_key uses
+    (crawl/politeness.py). Result is identical to the global window at
+    any parallelism."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.floor(F.col("doc_id") / bucket_span).alias("_b"),
+    )
+    per_bucket = {
+        r["_b"]: r["s"]
+        for r in d.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(per_bucket):
+        offsets.append((b, acc))
+        acc += per_bucket[b]
+    offs = spark.createDataFrame(offsets or [(0, 0)], schema="_b long, _off long")
+    w = W.partitionBy("_b").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        d.join(F.broadcast(offs), "_b")
+        .withColumn("start_tok", F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            F.floor(F.col("start_tok") / seq_len).cast("long").alias("pack_id"),
+        )
+    )
+
+
+_PACK_ORACLE = f"""
+SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CAST(floor((cum - n_tokens) / {_SEQ_LEN}.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{_TOK_RE}')) AS BIGINT) AS n_tokens
+        FROM documents))
+"""
+
+
 QUERIES.update(
     {
         "bm25_topk": bm25_topk,
         "pii_redact": pii_redact,
+        "pack_sequences": pack_sequences,
         "ngram_topk": ngram_topk,
         "repetition_quality": repetition_quality,
         "stratified_sample": stratified_sample,
@@ -339,6 +405,7 @@ ORACLES.update(
     {
         "bm25_topk": _bm25_oracle(),
         "pii_redact": _PII_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
         "ngram_topk": _NGRAM_ORACLE,
         "repetition_quality": _REP_ORACLE,
         "stratified_sample": _STRAT_ORACLE,

@@ -109,6 +109,28 @@ def test_stratified_sample_exact_and_deterministic(spark):
     assert set(_STRATA_RATES) <= langs
 
 
+def test_pack_sequences_matches_pure_python_across_buckets(spark):
+    """Two-phase bucketed prefix sum == a sequential global cumsum, and
+    is bucket-span-invariant (the scale knob cannot change results)."""
+    import re
+
+    from ecc_spark.ops.corpus_ops import _SEQ_LEN, _TOK_RE, pack_sequences
+
+    tok = re.compile(_TOK_RE)
+    want, cum = {}, 0
+    for i, t, _ in _docs():
+        n = len(tok.findall(t.lower()))
+        want[i] = (n, cum, (cum // _SEQ_LEN))
+        cum += n
+
+    for span in (50, 10_000):  # 10 buckets vs single-bucket
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_tok"], r["pack_id"])
+            for r in pack_sequences(spark, SF, bucket_span=span).collect()
+        }
+        assert got == want, f"bucket_span={span}"
+
+
 def test_redact_col_crafted_strings(spark):
     # the sf tables contain no PII (counts all 0 there — the driver
     # oracle run is structural), so the regexes are pinned here
