@@ -326,6 +326,62 @@ FROM documents
 """
 
 
+# -- decontamination --------------------------------------------------
+
+_DECON_N = 8  # 8-gram overlap = the usual benchmark-leakage test
+
+
+def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-8-gram with the benchmark set (here: every 97th doc, standing
+    in for an eval suite). Output = flagged doc_id + how many distinct
+    benchmark 8-grams it leaks.
+
+    Scale shape: the benchmark side is small by construction (eval
+    suites are thousands of docs, not billions) — its distinct 8-gram
+    hashes BROADCAST; the corpus side explodes its 8-grams and inner-
+    joins the broadcast, so the 100 TB side is one narrow pass + one
+    (doc_id)-keyed count agg. No shuffle carries document text."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= _DECON_N)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - _DECON_N),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, _DECON_N))),
+        )
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_leaked_grams"))
+    )
+
+
+_DECON_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_DECON_N}),
+g AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i+1:i+{_DECON_N}], ' ')
+                 for i in generate_series(0, len(w) - {_DECON_N})])) AS gram
+  FROM d),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_leaked_grams
+FROM g JOIN bench ON g.gram = bench.gram
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id
+"""
+
+
 # -- sequence packing -------------------------------------------------
 
 _SEQ_LEN = 2048
@@ -396,6 +452,7 @@ QUERIES.update(
         "bm25_topk": bm25_topk,
         "pii_redact": pii_redact,
         "pack_sequences": pack_sequences,
+        "decontaminate": decontaminate,
         "ngram_topk": ngram_topk,
         "repetition_quality": repetition_quality,
         "stratified_sample": stratified_sample,
@@ -406,6 +463,7 @@ ORACLES.update(
         "bm25_topk": _bm25_oracle(),
         "pii_redact": _PII_ORACLE,
         "pack_sequences": _PACK_ORACLE,
+        "decontaminate": _DECON_ORACLE,
         "ngram_topk": _NGRAM_ORACLE,
         "repetition_quality": _REP_ORACLE,
         "stratified_sample": _STRAT_ORACLE,

@@ -131,6 +131,31 @@ def test_pack_sequences_matches_pure_python_across_buckets(spark):
         assert got == want, f"bucket_span={span}"
 
 
+def test_decontaminate_matches_pure_python(spark):
+    from ecc_spark.ops.corpus_ops import _DECON_N, decontaminate
+
+    bench_grams: set[str] = set()
+    docs = []
+    for i, t, _ in _docs():
+        w = t.split(" ")
+        if len(w) < _DECON_N:
+            continue
+        grams = {" ".join(w[j : j + _DECON_N]) for j in range(len(w) - _DECON_N + 1)}
+        if i % 97 == 0:
+            bench_grams |= grams
+        else:
+            docs.append((i, grams))
+    want = {
+        i: len(g & bench_grams) for i, g in docs if g & bench_grams
+    }
+    got = {
+        r["doc_id"]: r["n_leaked_grams"]
+        for r in decontaminate(spark, SF).collect()
+    }
+    assert got == want
+    assert want  # the synthetic corpus does produce overlaps
+
+
 def test_redact_col_crafted_strings(spark):
     # the sf tables contain no PII (counts all 0 there — the driver
     # oracle run is structural), so the regexes are pinned here
