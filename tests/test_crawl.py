@@ -237,6 +237,18 @@ def test_auto_bloom_engagement(spark, tmp_path, crawl_setup):
     assert got == want
 
 
+def test_fetch_ok_rate_and_transience():
+    from ecc_spark.crawl.fetchsim import fetch_ok
+
+    urls = [f"https://h{i}.example.com/p{i}" for i in range(2000)]
+    assert all(fetch_ok(u, 0, 0) for u in urls)  # 0 = never fail
+    fails = [u for u in urls if not fetch_ok(u, 0, 300)]
+    assert 0.25 < len(fails) / len(urls) < 0.35  # ~300 permille
+    # transient, not sticky: most wave-0 failures succeed on the retry
+    retry_ok = sum(1 for u in fails if fetch_ok(u, 1, 300))
+    assert retry_ok / len(fails) > 0.6
+
+
 def test_fetch_failures_retry_without_duplicates(spark, tmp_path, crawl_setup):
     """Transient fetch failures: the failed URL is not marked seen, so
     the append-only queue reschedules it; retries must never fetch a URL
