@@ -93,6 +93,14 @@ class SnapshotTable:
     def _manifest(self) -> dict:
         v = self._latest_manifest_version()
         if not v:
+            legacy = os.path.join(self.dir, "_manifest.json")
+            if os.path.exists(legacy):
+                # pre-numbered layout: refusing loudly beats silently
+                # treating an existing crawl's state as an empty table
+                raise RuntimeError(
+                    f"{legacy} uses the legacy single-file manifest layout; "
+                    "rename it to _manifest.1.json to migrate"
+                )
             return {
                 "snapshots": [],
                 "latest": None,
@@ -113,21 +121,34 @@ class SnapshotTable:
         self.n_buckets = man.get("n_buckets") or self.n_buckets
         return man
 
-    def _write_manifest(self, man: dict) -> None:
-        """Publish a new metadata version as a brand-new file (O_EXCL):
-        no rename-over, so the commit point is atomic on object stores.
-        The loop handles a concurrent committer taking our version slot."""
-        v = self._latest_manifest_version() + 1
+    def _publish(self, mutate) -> dict:
+        """CAS-style manifest publish. ``mutate(current) -> new`` is
+        applied to the LATEST manifest and the result becomes version
+        latest+1 via write-temp + fsync + hard-link: the link is atomic
+        create-with-content, so a crash mid-write can never leave a
+        truncated file as the live version (the object-store analog is
+        a conditional PUT of the whole object — also all-or-nothing).
+        On a version-slot collision the mutation is RE-APPLIED to the
+        competitor's published state and retried — a concurrent
+        committer's snapshot entries are never overwritten with stale
+        state (Iceberg's commit loop does the same; the data layer
+        still assumes one writer per table, as documented on commit)."""
         while True:
+            man = mutate(self._manifest())
+            v = self._latest_manifest_version() + 1
             path = os.path.join(self.dir, f"_manifest.{v}.json")
-            try:
-                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-            except FileExistsError:
-                v += 1
-                continue
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            tmp = os.path.join(self.dir, f"_manifest.{v}.tmp.{os.getpid()}")
+            with open(tmp, "w", encoding="utf-8") as fh:
                 json.dump(man, fh)
-            return
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, path)
+                return man
+            except FileExistsError:
+                continue  # competitor took slot v: re-read, re-apply
+            finally:
+                os.unlink(tmp)
 
     # -- bucketed catalog binding ---------------------------------------
     def _ensure_registered(self, man: dict) -> None:
@@ -156,8 +177,10 @@ class SnapshotTable:
         half-written snapshot. Pass ``rows`` (of THIS df) when known to
         skip the metadata read-back. Snapshot ids are monotone and never
         reused (trim cannot resurrect an orphan under a recycled id)."""
-        man = self._manifest()
-        snap_id = man.get("next_id") or ((man["latest"] or 0) + 1)
+        # resolve table MODE from the manifest before branching — a fresh
+        # handle opened without bucket_by must still take the bucketed
+        # path of an existing bucketed table (mode is table metadata)
+        man0 = self._manifest()
         obs = None
         if rows is None:
             # fold the row count into the write job itself (Observation
@@ -165,9 +188,29 @@ class SnapshotTable:
             # second job over data we just wrote, every commit, forever
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
         if self.bucket_by:
-            if man["schema"] is None:
-                man["schema"] = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+            # CLAIM the id before writing data: a crash between the
+            # bucketed append and the sealing manifest leaves orphan rows
+            # under an id no manifest will ever list (burned, pruned by
+            # every read) — the replayed wave then writes under a FRESH
+            # id instead of appending a second copy into the same
+            # snap_id partition. Bucketed append cannot overwrite; the
+            # plain path needs no claim because overwriting snap=<id>
+            # replaces the orphan wholesale.
+            claimed: dict = {}
+
+            def claim(m: dict) -> dict:
+                sid = m.get("next_id") or ((m["latest"] or 0) + 1)
+                claimed["sid"] = sid
+                out = dict(m)
+                out["next_id"] = sid + 1
+                if out["schema"] is None:
+                    out["schema"] = schema
+                return out
+
+            man = self._publish(claim)
+            snap_id = claimed["sid"]
             self._ensure_registered(man)
             (
                 df.withColumn("snap_id", F.lit(snap_id))
@@ -183,15 +226,23 @@ class SnapshotTable:
                 .saveAsTable(self.table_name)
             )
         else:
+            snap_id = man0.get("next_id") or ((man0["latest"] or 0) + 1)
             path = os.path.join(self.dir, f"snap={snap_id}")
             df.write.mode("overwrite").parquet(path)
         if rows is None:
             rows = int(obs.get["rows"])
-        man["snapshots"].append({"id": snap_id, "wave": wave, "rows": rows})
-        man["latest"] = snap_id
-        man["next_id"] = snap_id + 1
-        man["append"] = self.append
-        self._write_manifest(man)
+
+        def seal(m: dict) -> dict:
+            out = dict(m)
+            out["snapshots"] = m["snapshots"] + [
+                {"id": snap_id, "wave": wave, "rows": rows}
+            ]
+            out["latest"] = max(snap_id, m["latest"] or 0)
+            out["next_id"] = max(m.get("next_id") or 0, snap_id + 1)
+            out["append"] = self.append
+            return out
+
+        self._publish(seal)
         return snap_id
 
     def read(self, snapshot_id: int | None = None) -> DataFrame | None:
@@ -259,9 +310,15 @@ class SnapshotTable:
         dropped = len(man["snapshots"]) - len(keep)
         if not dropped:
             return 0
-        man["snapshots"] = keep
-        man["latest"] = max((s["id"] for s in keep), default=None)
-        self._write_manifest(man)
+
+        def trim(m: dict) -> dict:
+            kept = [s for s in m["snapshots"] if wave is not None and s["wave"] <= wave]
+            out = dict(m)
+            out["snapshots"] = kept
+            out["latest"] = max((s["id"] for s in kept), default=None)
+            return out
+
+        self._publish(trim)
         return dropped
 
 

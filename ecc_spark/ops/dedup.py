@@ -50,6 +50,7 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 # bounds per-key pair fan-out at cap²; testdata max df is far below it,
 # so the sf0.01 oracle is value-identical to the uncapped query.
 SHINGLE_DF_CAP = 1000
+_PERSISTED: list = []  # ngram_jaccard_pairs' frames from the previous call
 
 _NGRAM_ORACLE = f"""
 WITH sh0 AS (
@@ -118,7 +119,13 @@ def ngram_jaccard_pairs(
     # the two shared frames once. Both are post-cap: posting rows are
     # ≤ cap-element lists, sizes is one row per doc — MEMORY_AND_DISK
     # spills gracefully at 100 TB, where recomputing the full
-    # scan+explode per consumer is the far larger cost.
+    # scan+explode per consumer is the far larger cost. The returned DF
+    # gives callers no unpersist handle, so each call frees the PREVIOUS
+    # call's frames — a long-lived session looping over corpora holds at
+    # most one call's cache (two concurrent calls in one session would
+    # recompute, never miscompute).
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(False)
     posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
@@ -126,6 +133,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.extend([posting, sizes])
     ds = F.array_sort("docs")
     pair_arr = F.flatten(
         F.transform(
@@ -328,6 +336,11 @@ def simhash_pairs(
     bands (selective join keys); 16/4 here matches ``dedup_simhash`` so
     the DuckDB oracle can state the identical result.
     """
+    if k >= n_bands:
+        # the pigeonhole guarantee needs k < n_bands: at k == n_bands a
+        # pair can differ by one bit in EVERY band and never join —
+        # silently missing qualifying pairs is worse than refusing
+        raise ValueError(f"simhash_pairs requires k < n_bands (got k={k}, n_bands={n_bands})")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     bands = sh.select(

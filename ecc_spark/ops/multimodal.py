@@ -235,12 +235,21 @@ def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | 
     need PIL/av — absent from this image — and fall back to the
     deterministic fake."""
     payload = bytes(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:2] in (b"P5", b"P6"):
-        return decode_pnm(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav(payload)
+    # magic sniffing is a ROUTE, not a guarantee: arbitrary/compressed
+    # payloads can open with b"BM"/b"P5" by coincidence (~3/65536 per
+    # item), and the strict decoders raise on such garbage — fall
+    # through to the fake rather than killing the whole mapInPandas job
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return decode_pnm(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+    except Exception:  # noqa: BLE001 — any malformed-garbage failure
+        # routes to the fake; a regression in the REAL decoders cannot
+        # hide here because the byte-exact fixture tests compare pixels
+        pass
     if _REAL_CODECS and (payload[:8] == _PNG_MAGIC or payload[:2] == b"\xff\xd8"):
         # the compressed-format decode path is NOT implemented — this
         # raise marks the call site to fill in (PIL.Image.open / av.open)

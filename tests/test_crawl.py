@@ -196,6 +196,46 @@ def test_sharded_bloom_selected_by_size_and_identical(spark, tmp_path, crawl_set
     assert s1 == s2
 
 
+def test_bucketed_crash_between_data_and_seal_no_duplicates(spark, tmp_path):
+    """A crash AFTER the bucketed data append but BEFORE the sealing
+    manifest must not duplicate rows on replay: the claimed id is burned
+    (orphan data under it is never listed), and the replay writes under
+    a fresh id. Also covers truncated-manifest safety: every published
+    manifest arrives via atomic hard-link, so the crash can never leave
+    a half-written live version."""
+    import pytest
+
+    from ecc_spark.crawl.checkpoint import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "tbl", append=True, bucket_by="k", n_buckets=4)
+    df0 = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    df1 = spark.range(100, 200).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    t.commit(df0, wave=0, rows=100)
+
+    real = t._publish
+    state = {"armed": True}
+
+    def flaky(mutate):
+        before = t._manifest()
+        after = mutate(dict(before))
+        if state["armed"] and len(after["snapshots"]) > len(before["snapshots"]):
+            state["armed"] = False  # crash exactly at the seal
+            raise RuntimeError("simulated crash before seal")
+        return real(mutate)
+
+    t._publish = flaky
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.commit(df1, wave=1, rows=100)  # data IS on disk, seal is not
+    t._publish = real
+
+    # replay on a fresh handle (mode resolves from the manifest)
+    t2 = SnapshotTable(spark, str(tmp_path), "tbl", append=True)
+    t2.commit(df1, wave=1, rows=100)
+    rows = t2.read()
+    assert rows.count() == 200
+    assert rows.groupBy("k", "v").count().filter("count > 1").count() == 0
+
+
 def test_auto_bloom_engagement(spark, tmp_path, crawl_setup):
     """use_bloom="auto" is a physical-plan choice only. Below the
     threshold no bloom work runs at all; a mid-crawl engagement in
