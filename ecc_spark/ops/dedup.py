@@ -259,11 +259,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         for b in range(_N_HASHES // _BAND_SIZE)
     ]
     banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("band"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # band POSTING LISTS instead of a self-join: the join evaluated the
+    # whole md5+signature pipeline once PER SIDE (no exchange reuse —
+    # same pathology ngram_jaccard_pairs had); grouping computes it once
+    # and generates each bucket's pairs with array combinatorics. A
+    # pathological bucket (mass exact duplicates) would blow up either
+    # formulation identically — run dedup_exact first, as pipelines do.
+    posting = (
+        banded.groupBy("band")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    ds = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ds) - 1),
+            lambda i: F.transform(
+                F.slice(ds, i + 1, F.size(ds)),
+                lambda dd: F.struct(F.element_at(ds, i).alias("doc_a"), dd.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posting.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
