@@ -50,7 +50,16 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 # bounds per-key pair fan-out at cap²; testdata max df is far below it,
 # so the sf0.01 oracle is value-identical to the uncapped query.
 SHINGLE_DF_CAP = 1000
-_PERSISTED: list = []  # ngram_jaccard_pairs' frames from the previous call
+_PERSISTED: list = []  # persisted frames from the previous operator call
+
+
+def _drain_persisted() -> None:
+    """Free the previous call's internally-persisted frames — callers
+    get no unpersist handle, so each operator call releases the last
+    one's cache (bounded growth; concurrent calls recompute, never
+    miscompute)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(False)
 
 _NGRAM_ORACLE = f"""
 WITH sh0 AS (
@@ -124,8 +133,7 @@ def ngram_jaccard_pairs(
     # call's frames — a long-lived session looping over corpora holds at
     # most one call's cache (two concurrent calls in one session would
     # recompute, never miscompute).
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist(False)
+    _drain_persisted()
     posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
@@ -401,7 +409,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash_pairs(dedup_simhash(spark, sf))
+    # the banded self-join consumes the simhash frame twice; persist the
+    # tiny (doc_id, simhash) result so the explode+double-agg pipeline
+    # runs once. (A posting-list rewrite like minhash's is WRONG here:
+    # the toy 4-bit band values make buckets coarse, and one grouped row
+    # would hold a bucket's entire pair array.) Freed on the next call
+    # via the shared _PERSISTED janitor.
+    _drain_persisted()
+    sh = dedup_simhash(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sh)
+    return simhash_pairs(sh)
 
 
 QUERIES.update(
