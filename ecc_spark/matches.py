@@ -24,8 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from pyspark.storagelevel import StorageLevel
 
 from ecc_spark.udfs import clean_text_udf, phrase_match_udf
+
+_PERSISTED: list = []  # build_matches' enriched frame from the previous call
 
 
 def _first_writer(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
@@ -172,6 +175,15 @@ def build_matches(
         .withColumn("patterns", F.map_keys("m2m"))
         .withColumn("match_arr", phrase_match_udf("clean_text", "patterns"))
     )
+    # pages, matches, and mentions all derive from this frame; without a
+    # materialization each consumer re-runs the clean_text/phrase_match
+    # pandas UDFs over the whole corpus (3 full Python passes measured in
+    # the phase-1+2 plan; the CLI's three table writes pay the same).
+    # Janitor-scoped: the next build_matches call frees this one's cache.
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(False)
+    enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(enriched)
 
     pages = _first_writer(
         enriched.select(
