@@ -23,12 +23,25 @@ def _modules():
     return mods
 
 
+# The external correctness driver only checks the FIRST 50 keys of
+# ``queries()`` in registration order.  Every oracle-backed query must land
+# inside that window or its hard correctness signal silently disappears
+# (round-3 lesson: 9 oracle-backed ops fell past the window).  We therefore
+# emit oracle-backed keys first, rows-only keys after, preserving module
+# registration order within each group.  tests/test_registry.py pins the
+# invariant (oracle-backed count <= 50 and all inside the window).
+DRIVER_WINDOW = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
         for k, v in mod.QUERIES.items():
-            assert k not in out, f"duplicate query key {k}"
-            out[k] = v
+            assert k not in merged, f"duplicate query key {k}"
+            merged[k] = v
+    oracles = oracle_sql()
+    out = {k: v for k, v in merged.items() if k in oracles}
+    out.update({k: v for k, v in merged.items() if k not in oracles})
     return out
 
 
