@@ -291,13 +291,18 @@ _PII_ORDER = ["email", "ip", "phone"]
 
 def redact_col(text_col):
     """(redacted_text, counts) column expressions — row-local regexes,
-    fully pushed into the scan; reused by the query and by unit tests."""
-    counts = {
-        k: F.size(F.regexp_extract_all(text_col, F.lit(_PII_PATTERNS[k]), 0))
-        for k in _PII_ORDER
-    }
+    fully pushed into the scan; reused by the query and by unit tests.
+
+    Counts are computed PROGRESSIVELY, mirroring the sequential
+    replacement order (email → ip → phone): each pattern is counted on
+    the text with all earlier patterns already redacted, so n_<k> equals
+    the number of <K> placeholders actually present in red_text (an IPv4
+    inside an email's local part is swallowed by <EMAIL> and correctly
+    not counted as an IP)."""
+    counts = {}
     red = text_col
     for k in _PII_ORDER:
+        counts[k] = F.size(F.regexp_extract_all(red, F.lit(_PII_PATTERNS[k]), 0))
         red = F.regexp_replace(red, _PII_PATTERNS[k], f"<{k.upper()}>")
     return red, counts
 
@@ -315,12 +320,18 @@ def pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# progressive counts in SQL too: count pattern k on the text with all
+# earlier patterns already replaced (same semantics as redact_col)
 _red_sql = "text"
+_pii_count_sql = []
 for _k in _PII_ORDER:
+    _pii_count_sql.append(
+        f"CAST(len(regexp_extract_all({_red_sql}, '{_PII_PATTERNS[_k]}')) AS BIGINT) AS n_{_k}"
+    )
     _red_sql = f"regexp_replace({_red_sql}, '{_PII_PATTERNS[_k]}', '<{_k.upper()}>', 'g')"
 _PII_ORACLE = f"""
 SELECT doc_id,
-       {", ".join(f"CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}" for k in _PII_ORDER)},
+       {", ".join(_pii_count_sql)},
        {_red_sql} AS red_text
 FROM documents
 """
@@ -329,13 +340,19 @@ FROM documents
 # -- decontamination --------------------------------------------------
 
 _DECON_N = 8  # 8-gram overlap = the usual benchmark-leakage test
+# The CONTRACT query runs at 4-grams: the synthetic corpus has zero
+# natural cross-doc 8-gram repeats at sf<=0.01, which made the round-3
+# oracle row compare two empty sets (vacuous).  4-grams yield 8 flagged
+# docs at BOTH sf0.001 and sf0.01, so the driver's hash check exercises
+# real joins/aggregation; production keeps n=8 via the parameter.
+_DECON_CONTRACT_N = 4
 
 
-def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+def decontaminate(spark: SparkSession, sf: str, n: int = _DECON_CONTRACT_N) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
-    word-8-gram with the benchmark set (here: every 97th doc, standing
+    word-n-gram with the benchmark set (here: every 97th doc, standing
     in for an eval suite). Output = flagged doc_id + how many distinct
-    benchmark 8-grams it leaks.
+    benchmark n-grams it leaks.
 
     Scale shape: the benchmark side is small by construction (eval
     suites are thousands of docs, not billions) — its distinct 8-gram
@@ -344,11 +361,11 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     (doc_id)-keyed count agg. No shuffle carries document text."""
     d = load(spark, sf, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
-    ).filter(F.size("w") >= _DECON_N)
+    ).filter(F.size("w") >= n)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size("w") - _DECON_N),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, _DECON_N))),
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, n))),
         )
     )
     bench = (
@@ -369,10 +386,10 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 _DECON_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
-  WHERE len(string_split(text, ' ')) >= {_DECON_N}),
+  WHERE len(string_split(text, ' ')) >= {_DECON_CONTRACT_N}),
 g AS (
-  SELECT doc_id, unnest(list_distinct([array_to_string(w[i+1:i+{_DECON_N}], ' ')
-                 for i in generate_series(0, len(w) - {_DECON_N})])) AS gram
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i+1:i+{_DECON_CONTRACT_N}], ' ')
+                 for i in generate_series(0, len(w) - {_DECON_CONTRACT_N})])) AS gram
   FROM d),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
 SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_leaked_grams

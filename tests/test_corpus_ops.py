@@ -132,28 +132,32 @@ def test_pack_sequences_matches_pure_python_across_buckets(spark):
 
 
 def test_decontaminate_matches_pure_python(spark):
-    from ecc_spark.ops.corpus_ops import _DECON_N, decontaminate
+    from ecc_spark.ops.corpus_ops import _DECON_CONTRACT_N, _DECON_N, decontaminate
 
-    bench_grams: set[str] = set()
-    docs = []
-    for i, t, _ in _docs():
-        w = t.split(" ")
-        if len(w) < _DECON_N:
-            continue
-        grams = {" ".join(w[j : j + _DECON_N]) for j in range(len(w) - _DECON_N + 1)}
-        if i % 97 == 0:
-            bench_grams |= grams
-        else:
-            docs.append((i, grams))
-    want = {
-        i: len(g & bench_grams) for i, g in docs if g & bench_grams
-    }
-    got = {
-        r["doc_id"]: r["n_leaked_grams"]
-        for r in decontaminate(spark, SF).collect()
-    }
-    assert got == want
-    assert want  # the synthetic corpus does produce overlaps
+    for n in (_DECON_CONTRACT_N, _DECON_N):
+        bench_grams: set[str] = set()
+        docs = []
+        for i, t, _ in _docs():
+            w = t.split(" ")
+            if len(w) < n:
+                continue
+            grams = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+            if i % 97 == 0:
+                bench_grams |= grams
+            else:
+                docs.append((i, grams))
+        want = {
+            i: len(g & bench_grams) for i, g in docs if g & bench_grams
+        }
+        got = {
+            r["doc_id"]: r["n_leaked_grams"]
+            for r in decontaminate(spark, SF, n=n).collect()
+        }
+        assert got == want, f"n={n}"
+        if n == _DECON_CONTRACT_N:
+            # contract gram size must produce real leakage at test SF —
+            # the driver's oracle row would otherwise compare empty sets
+            assert want
 
 
 def test_redact_col_crafted_strings(spark):
@@ -167,6 +171,10 @@ def test_redact_col_crafted_strings(spark):
         ("call 555-123-4567 or 555.987.6543",
          "call <PHONE> or <PHONE>", (0, 0, 2)),
         ("no pii here", "no pii here", (0, 0, 0)),
+        # progressive counts: the IPv4 inside the email's local part is
+        # swallowed by <EMAIL> and must NOT be counted as an IP
+        ("mail 1.2.3.4@x.com and host 10.0.0.1",
+         "mail <EMAIL> and host <IP>", (1, 1, 0)),
         # version strings are NOT IPv4 (word boundary + 4 octets)
         ("v1.2.3 release", "v1.2.3 release", (0, 0, 0)),
     ]
