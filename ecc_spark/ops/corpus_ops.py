@@ -407,7 +407,10 @@ _TOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def pack_sequences(
-    spark: SparkSession, sf: str, seq_len: int = _SEQ_LEN, bucket_span: int = _PACK_BUCKET
+    spark: SparkSession,
+    sf: str,
+    seq_len: int = _SEQ_LEN,
+    bucket_span: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents in doc_id order are
     laid head-to-tail in token space; each doc reports its global start
@@ -420,8 +423,19 @@ def pack_sequences(
     prefix offsets broadcast back, and the window runs WITHIN each
     bucket — the same two-phase pattern the crawl's order_key uses
     (crawl/politeness.py). Result is identical to the global window at
-    any parallelism."""
+    any parallelism.
+
+    bucket_span auto-scales with corpus size (n_docs / 10^5, floor 10^4)
+    so the driver-collected offset table stays <= ~10^5 rows at ANY
+    scale: 10^10 docs -> span 10^5 -> 10^5 bucket rows on the driver.
+    The span cannot change results (pinned by the cross-span equality
+    test), only the driver's metadata footprint."""
     from pyspark.sql.window import Window as W
+
+    if bucket_span is None:
+        # metadata-only parquet count — no data scan
+        n_docs = load(spark, sf, "documents").count()
+        bucket_span = max(_PACK_BUCKET, n_docs // 100_000)
 
     d = load(spark, sf, "documents").select(
         "doc_id",

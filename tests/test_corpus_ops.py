@@ -123,7 +123,7 @@ def test_pack_sequences_matches_pure_python_across_buckets(spark):
         want[i] = (n, cum, (cum // _SEQ_LEN))
         cum += n
 
-    for span in (50, 10_000):  # 10 buckets vs single-bucket
+    for span in (50, 10_000, None):  # 10 buckets vs single-bucket vs auto
         got = {
             r["doc_id"]: (r["n_tokens"], r["start_tok"], r["pack_id"])
             for r in pack_sequences(spark, SF, bucket_span=span).collect()
