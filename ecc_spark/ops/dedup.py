@@ -350,18 +350,53 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document — the production-width signature.
+
+    Per-token ``xxhash64`` supplies all 64 bit votes (one JVM hash call
+    per token, bits sliced with shift/mask); votes aggregate exactly like
+    the 16-bit variant: explode to (doc, bit) → signed sum → sign bit.
+    The final assembly uses the ``bit_or`` aggregate rather than a sum so
+    bit 63 (the long's sign bit) packs without arithmetic overflow.
+
+    Shape at 100 TB: tokens×64 rows flow straight into a map-side-
+    combined hash-agg keyed on (doc_id, bit) — per-group cardinality is
+    bounded by document length, no skew story needed, no joins.
+    """
+    tok = df.select(id_col, F.explode(F.split(F.lower(text_col), " ")).alias("t")).select(
+        id_col, F.xxhash64("t").alias("h")
+    )
+    bits_df = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "h",
+    ).select(
+        id_col,
+        "b",
+        F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    votes = bits_df.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.bit_or(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
 def simhash_pairs(
-    sh: DataFrame, k: int = 3, n_bands: int = 4, bits: int = 16
+    sh: DataFrame, k: int = 3, n_bands: int = 4, bits: int = 64
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via a banded self-join.
 
     Pigeonhole: split the hash into ``n_bands`` equal bands; any pair
     within hamming k < n_bands agrees EXACTLY on ≥1 band, so joining on
     (band_idx, band_value) yields a candidate superset — never all-pairs —
-    and the exact bit_count(xor) filter settles each candidate. At
-    production scale the same plan runs over 64-bit hashes with 16-bit
-    bands (selective join keys); 16/4 here matches ``dedup_simhash`` so
-    the DuckDB oracle can state the identical result.
+    and the exact bit_count(xor) filter settles each candidate. The
+    DEFAULT is the production shape: 64-bit hashes (``simhash64``) in
+    16-bit bands — 65,536-value join keys keep buckets selective. The
+    contract query passes ``bits=16`` so the 16/4 toy matches
+    ``dedup_simhash`` and the DuckDB oracle can state the identical
+    result.
     """
     if k >= n_bands:
         # the pigeonhole guarantee needs k < n_bands: at k == n_bands a
@@ -418,7 +453,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     _drain_persisted()
     sh = dedup_simhash(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(sh)
-    return simhash_pairs(sh)
+    return simhash_pairs(sh, bits=16)
 
 
 QUERIES.update(

@@ -322,6 +322,61 @@ def test_simhash_pairs_band_join_hamming_semantics(spark):
     assert not any("d3" in p for p in got), got  # hamming-8 never pairs
 
 
+def test_simhash_pairs_production_64bit_default(spark):
+    """The DEFAULT simhash_pairs path is the production shape: 64-bit
+    hashes in 16-bit bands. Hamming-1 pairs surface (incl. a flip of the
+    sign bit 63), hamming-8 pairs are excluded even when they collide on
+    a band."""
+    from ecc_spark.ops.dedup import simhash_pairs
+
+    base = 0x5A5A_C3C3_0F0F_9696
+    rows = [
+        ("d0", _as_i64(base)),
+        ("d1", _as_i64(base ^ 1)),            # hamming 1, low band
+        ("d2", _as_i64(base ^ (1 << 63))),    # hamming 1, sign bit
+        ("d3", _as_i64(base ^ 0x00FF_0000_0000_0000)),  # hamming 8, 3 bands equal
+    ]
+    sh = spark.createDataFrame(rows, schema="doc_id string, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(sh, k=3).collect()  # defaults: n_bands=4, bits=64
+    }
+    assert got[("d0", "d1")] == 1
+    assert got[("d0", "d2")] == 1
+    assert got[("d1", "d2")] == 2
+    assert not any("d3" in p for p in got), got  # hamming-8 never pairs
+
+
+def _as_i64(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_simhash64_signature_properties(spark):
+    """simhash64 is deterministic, uses the full 64-bit range (sign bit
+    exercised somewhere in the corpus), near-identical docs land at small
+    hamming, and an exact dup hashes identically."""
+    rows = [
+        ("a1", "the quick brown fox jumps over the lazy dog near the river bank"),
+        ("a2", "the quick brown fox jumps over the lazy dog near the river bend"),
+        ("a3", "the quick brown fox jumps over the lazy dog near the river bank"),
+        ("b1", "completely unrelated text about spark shuffle partitions and joins"),
+    ]
+    from ecc_spark.ops.dedup import simhash64
+
+    df = spark.createDataFrame(rows, schema="doc_id string, text string")
+    got1 = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    got2 = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert got1 == got2  # deterministic
+    assert got1["a1"] == got1["a3"]  # exact dup → identical hash
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got1["a1"], got1["a2"]) < ham(got1["a1"], got1["b1"])
+    # votes reach well beyond 16 bits — production width is real
+    assert any(abs(v) > (1 << 32) for v in got1.values())
+
+
 def test_numpy_codecs_byte_exact():
     """Real decoders (VERDICT r2 #4): BMP/PNM/WAV round-trip byte-exactly
     through the colocated encoders — including BMP row padding + bottom-up
