@@ -249,11 +249,129 @@ def ann_ivf_multiprobe(spark: SparkSession, sf: str, nprobe: int = _NPROBE) -> D
     )
 
 
+# -- Lloyd-trained IVF (production training path) ----------------------
+
+
+def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (cell, centroid) table,
+    rank by rounded cosine (6 dp, ties on cell) — deterministic across
+    engines and partitionings."""
+    sim = _dot("embedding", "centroid") / (_norm("embedding") * _norm("centroid"))
+    w = W.partitionBy("vec_id").orderBy(F.round(sim, 6).desc(), "cell")
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def _mean_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cell per-dimension mean, rounded to 6 dp before use so the
+    next assignment is reproducible (float-sum order differs between
+    partial aggregates and any sequential re-check)."""
+    return (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: F.round(s["m"], 6)).alias("centroid"))
+    )
+
+
+def kmeans_lloyd(
+    e: DataFrame, k: int = 8, n_iter: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Actual Lloyd iterations for IVF training: seed from the k
+    lowest-vec_id vectors, then assign → re-average ``n_iter`` times,
+    then a final reassign so cells are consistent with the returned
+    centroids. Returns (centroids(cell, centroid), assign(vec_id, cell)).
+
+    Scale shape per iteration: one broadcast nested-loop assignment (n×k
+    rows, narrow) + one (cell, pos)-keyed hash-agg — both map-side
+    combinable, no shuffle carries embeddings twice. The centroid table
+    is k×dim (tiny) and is the only thing that crosses iterations, so
+    ``n_iter`` is a pure wall-clock knob, not a memory one. Production
+    would swap the first-k seed for k-means||; the iteration body is the
+    same.
+    """
+    vecs = e.select("vec_id", "embedding")
+    seed = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cell"),
+            F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias(
+                "centroid"
+            ),
+        )
+    )
+    cent = seed.persist()
+    for _ in range(n_iter):
+        nxt = _mean_centroids(_assign_cells(vecs, cent)).persist()
+        nxt.count()  # materialize before dropping the previous centroids
+        cent.unpersist()
+        cent = nxt
+    assigned = _assign_cells(vecs, cent).select("vec_id", "cell")
+    return cent, assigned
+
+
+def ann_ivf_lloyd(
+    spark: SparkSession,
+    sf: str,
+    nprobe: int = _NPROBE,
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF over Lloyd-TRAINED cells (the production path;
+    `ann_ivf_multiprobe` keeps the label-cell contract so its DuckDB
+    oracle stays expressible). Same search shape: broadcast centroids →
+    rank cells per query → probe top ``nprobe`` → per-query top-5."""
+    e = load(spark, sf, "embeddings")
+    cent, assigned = kmeans_lloyd(e, k=k, n_iter=n_iter)
+    ec = e.join(assigned, "vec_id")  # (vec_id, embedding, cell)
+    q = ec.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cell_sim = _dot("q_emb", "centroid") / (_norm("q_emb") * _norm("centroid"))
+    wc = W.partitionBy("query_id").orderBy(F.round(cell_sim, 6).desc(), "cell")
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    c = ec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("embedding").alias("c_emb"),
+    )
+    j = c.join(F.broadcast(probed), ["cell"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = j.select(
+        "query_id",
+        "neighbor_id",
+        (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank")
+    )
+
+
 QUERIES.update(
     {
         "ann_topk_cosine": ann_topk_cosine,
         "ann_ivf_bucketed": ann_ivf_bucketed,
         "ann_ivf_multiprobe": ann_ivf_multiprobe,
+        # rows-only: Lloyd training is iterative (non-SQL-expressible
+        # without engine-matched float fold order across iterations);
+        # semantics pinned by recall + nprobe=all≡brute-force tests
+        "ann_ivf_lloyd": ann_ivf_lloyd,
         "embedding_near_dup": embedding_near_dup,
     }
 )
