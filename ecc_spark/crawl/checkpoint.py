@@ -91,7 +91,9 @@ class SnapshotTable:
         return best
 
     def _manifest(self) -> dict:
-        v = self._latest_manifest_version()
+        return self._manifest_at(self._latest_manifest_version())
+
+    def _manifest_at(self, v: int) -> dict:
         if not v:
             legacy = os.path.join(self.dir, "_manifest.json")
             if os.path.exists(legacy):
@@ -132,10 +134,17 @@ class SnapshotTable:
         competitor's published state and retried — a concurrent
         committer's snapshot entries are never overwritten with stale
         state (Iceberg's commit loop does the same; the data layer
-        still assumes one writer per table, as documented on commit)."""
+        still assumes one writer per table, as documented on commit).
+
+        The target slot is ``read_version + 1`` computed from the SAME
+        listing that supplied the manifest we mutated — recomputing it
+        after ``mutate`` would open a TOCTOU window where a competitor
+        publishes v+1 between our read and our link, our stale result
+        lands uncontested at v+2, and their entries vanish (ADVICE r3)."""
         while True:
-            man = mutate(self._manifest())
-            v = self._latest_manifest_version() + 1
+            v_read = self._latest_manifest_version()
+            man = mutate(self._manifest_at(v_read))
+            v = v_read + 1
             path = os.path.join(self.dir, f"_manifest.{v}.json")
             tmp = os.path.join(self.dir, f"_manifest.{v}.tmp.{os.getpid()}")
             with open(tmp, "w", encoding="utf-8") as fh:

@@ -545,3 +545,40 @@ def test_manifest_commits_are_create_new_files(spark, tmp_path):
     sid = t.commit(df, wave=1, rows=3)
     assert sid == 3  # orphaned id 2 is never recycled
     assert t.read().count() == 6
+
+
+def test_manifest_publish_interleaved_competitor_not_lost(spark, tmp_path):
+    """ADVICE r3: a competitor publishing BETWEEN our manifest read and
+    our link must collide on our slot and force the re-apply path — its
+    entries survive, and our mutation lands on top of its state. The
+    target version is computed from the same read as the mutated
+    manifest, so the stale result can never land uncontested at v+2."""
+    from ecc_spark.crawl.checkpoint import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "race", append=True)
+    df = spark.range(2).select(F.col("id").alias("k"))
+    t.commit(df, wave=0, rows=2)  # manifest v1/v2 exist
+
+    competitor = SnapshotTable(spark, str(tmp_path), "race", append=True)
+    fired = {"n": 0}
+
+    def ours(m: dict) -> dict:
+        # first application simulates the race: the competitor publishes
+        # AFTER our read, BEFORE our link
+        if fired["n"] == 0:
+            fired["n"] += 1
+            competitor._publish(
+                lambda c: {
+                    **c,
+                    "snapshots": c["snapshots"] + [{"id": 98, "wave": 9, "rows": 1}],
+                }
+            )
+        out = dict(m)
+        out["snapshots"] = m["snapshots"] + [{"id": 99, "wave": 10, "rows": 1}]
+        return out
+
+    final = t._publish(ours)
+    ids = [s["id"] for s in final["snapshots"]]
+    assert 98 in ids and 99 in ids, ids  # both survive
+    assert fired["n"] == 1  # retried via re-apply, not a fresh race
+    assert ids == [s["id"] for s in t._manifest()["snapshots"]]
