@@ -31,6 +31,7 @@ namespace skip.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass
 
@@ -90,8 +91,45 @@ def _parse_page_udf(record: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["title", "redirect", "markup"])
 
 
+def _resolve_parts(path) -> list[str]:
+    """Resolve ``path`` to an ORDERED list of dump part files.
+
+    - a list/tuple is the caller's explicit part order (always valid);
+    - a single file is a one-part dump;
+    - a directory or glob is accepted ONLY when every filename carries a
+      distinct numeric key (the integers embedded in the name, compared
+      as tuples) — real multistream dumps are numbered
+      ``…-multistream1.xml-p1p41242`` so the part index orders them.
+      Ambiguous sets (missing or duplicate numeric keys) still raise:
+      silently size-ordered input would corrupt dump order, limit_pages,
+      and first-writer-wins dedup.
+    """
+    import glob as _glob
+    import os
+
+    if isinstance(path, (list, tuple)):
+        return [str(p) for p in path]
+    if os.path.isdir(path):
+        cand = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        )
+    elif any(ch in path for ch in "*?[{"):
+        cand = sorted(_glob.glob(path))
+    else:
+        return [path]
+    keys = [tuple(int(n) for n in re.findall(r"\d+", os.path.basename(p))) for p in cand]
+    if not cand or len(set(keys)) != len(keys) or any(not k for k in keys):
+        raise ValueError(
+            "read_wikipedia_xml cannot order the dump parts in "
+            f"{path!r}: filenames need distinct embedded part numbers "
+            "(or pass an explicit ordered list of part paths)"
+        )
+    return [p for _, p in sorted(zip(keys, cand))]
+
+
 def read_wikipedia_xml(
-    spark: SparkSession, path: str, limit_pages: int | None = None
+    spark: SparkSession, path, limit_pages: int | None = None
 ) -> DataFrame:
     """Raw page scan: (doc_seq, title, redirect, markup) — PRE-filter.
 
@@ -100,23 +138,42 @@ def read_wikipedia_xml(
     unlimited, matching the reference's falsy check). Sort+limit compiles
     to TakeOrderedAndProject — no full-sort shuffle.
 
-    ``path`` must be a single dump file: doc_seq (dump order) comes from
-    monotonically_increasing_id, which tracks file order only within one
-    file — Spark orders multi-file inputs by size, which would silently
-    corrupt limit_pages and first-writer-wins dedup.
+    ``path`` may be a single dump file, an explicit ordered list of part
+    files, or a directory/glob whose filenames carry part numbers (real
+    dumps ship as numbered multistream parts — the reference takes one
+    file handle, util/wikipedia.py:17; this lifts that). Dump order
+    across parts = (part rank, within-part order): each part is its own
+    scan so monotonically_increasing_id stays monotone in file position
+    (a combined multi-file scan orders splits by SIZE — wrong), and the
+    part rank lands in the high bits above the id's partition field. The
+    per-part union is a narrow concat — no shuffle, and each part still
+    fans out across executors on its own splits.
     """
-    import os
+    parts = _resolve_parts(path)
 
-    if os.path.isdir(path) or any(ch in path for ch in "*?[{"):
-        raise ValueError(
-            "read_wikipedia_xml requires a single dump file (dump order via "
-            f"doc_seq is per-file); got directory/glob: {path}"
+    def _scan(p: str):
+        return (
+            spark.read.option("lineSep", "</page>").text(p)
+            .withColumn("doc_seq", F.monotonically_increasing_id())
         )
-    raw = (
-        spark.read.option("lineSep", "</page>").text(path)
-        .withColumn("doc_seq", F.monotonically_increasing_id())
-        .filter(F.instr("value", "<page") > 0)
-    )
+
+    if len(parts) == 1:
+        raw = _scan(parts[0])
+    else:
+        readers = [_scan(p) for p in parts]
+        # monotonically_increasing_id < numPartitions << 33 (the id packs
+        # partition in the upper 31 bits, so <2^33 rows/partition is a
+        # Spark-level invariant); stride one power of two above that
+        max_parts = max(r.rdd.getNumPartitions() for r in readers)
+        stride = max_parts << 34
+        if stride * len(parts) >= 1 << 63:
+            raise ValueError(
+                f"doc_seq would overflow: {len(parts)} parts x stride {stride}"
+            )
+        raw = readers[0]
+        for i, r in enumerate(readers[1:], start=1):
+            raw = raw.unionAll(r.withColumn("doc_seq", F.col("doc_seq") + F.lit(i * stride)))
+    raw = raw.filter(F.instr("value", "<page") > 0)
     if limit_pages:
         raw = raw.orderBy("doc_seq").limit(limit_pages)
     return raw.select("doc_seq", _parse_page_udf("value").alias("p")).select("doc_seq", "p.*")
