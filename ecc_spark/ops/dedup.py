@@ -456,6 +456,103 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_pairs(sh, bits=16)
 
 
+# ---------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list —
+    the cluster-assignment step after any near-dup pair generator
+    (pairs → components → one canonical doc per component).
+
+    ``nodes``: one column ``id``; ``edges``: columns ``a``, ``b``.
+    Returns (id, component) with component = min node id reachable.
+
+    Algorithm: iterative min-label propagation PLUS a pointer-jumping
+    shortcut (label ← label(label)) per round, so convergence is
+    O(log diameter) rounds, not O(diameter) — the difference between 5
+    and 500 jobs on a chain-shaped cluster. Each round is two shuffles
+    keyed on node/label ids (uniform hash keys, map-side combinable
+    min-aggs); the edge list is persisted once and reused. Lineage is
+    truncated with localCheckpoint every round — an executor loss
+    restarts the algorithm, the standard trade for iterative graph jobs
+    (GraphFrames/GraphX checkpoint the same way; a production run points
+    the checkpoint dir at reliable storage).
+    """
+    sym = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        nxt = (
+            labels.join(nmin, "id", "left")
+            .select("id", F.least("label", "nmin").alias("label"))
+        )
+        # pointer jump: follow the label one hop (label is itself a node
+        # id, and labels only ever decrease — composing is safe)
+        hop = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("hop_label")
+        )
+        nxt = nxt.join(hop, "label", "left").select(
+            "id", F.least("label", "hop_label").alias("label")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = (
+            nxt.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if not changed:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: simhash hamming≤k pairs (the 16/4 contract
+    shape — same edge set the `dedup_simhash_pairs` oracle states) fed
+    through connected components; every document gets its component's
+    min doc_id as cluster_id and the canonical flag a dedup pipeline
+    keeps. Singletons are their own cluster, so rows == n_docs."""
+    _drain_persisted()
+    sh = dedup_simhash(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sh)
+    edges = simhash_pairs(sh, bits=16).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    nodes = load(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_SIMHASH_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
+SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+       (min(r) = doc) AS is_canonical
+FROM reach GROUP BY doc
+"""
+
+
 QUERIES.update(
     {
         "dedup_exact": dedup_exact,
@@ -463,6 +560,7 @@ QUERIES.update(
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_clusters": dedup_clusters,
     }
 )
 ORACLES.update(
@@ -472,5 +570,6 @@ ORACLES.update(
         "dedup_minhash_lsh": _MINHASH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
+        "dedup_clusters": _CLUSTERS_ORACLE,
     }
 )

@@ -405,6 +405,28 @@ def test_simhash_pairs_band_join_hamming_semantics(spark):
     assert not any("d3" in p for p in got), got  # hamming-8 never pairs
 
 
+def test_connected_components_crafted_graph(spark):
+    """Chain (log-round pointer jumping must close it), triangle,
+    singleton, and a two-edge star — component = min reachable id."""
+    from ecc_spark.ops.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),   # chain 1-5
+             (10, 11), (11, 12), (10, 12),      # triangle
+             (20, 21), (20, 22)]                # star
+    nodes = [(n,) for n in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 22, 99]]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(nodes, schema="id long"),
+            spark.createDataFrame(edges, schema="a long, b long"),
+        ).collect()
+    }
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 22: 20, 99: 99}
+    assert got == want
+
+
 def test_simhash_pairs_production_64bit_default(spark):
     """The DEFAULT simhash_pairs path is the production shape: 64-bit
     hashes in 16-bit bands. Hamming-1 pairs surface (incl. a flip of the
