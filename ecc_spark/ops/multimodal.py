@@ -23,6 +23,8 @@ payloads have no DuckDB-oracle representation worth faking.
 
 from __future__ import annotations
 
+import os
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -308,8 +310,16 @@ def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
     )
 
 
+def _sf_number(sf: str) -> float:
+    """Parse the scale factor out of an sf directory path (".../sf0.1"
+    -> 0.1); unparseable paths get the smallest test scale. Replaces the
+    brittle substring sniffing flagged in VERDICT r3 (#4)."""
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf.rstrip("/")))
+    return float(m.group(1)) if m else 0.001
+
+
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    n = 600 if "0.1" in sf and "0.01" not in sf else 200
+    n = 600 if _sf_number(sf) >= 0.1 else 200
     media = synth_media(spark, n=n)
     return decode_features(media).drop("thumb")
 
