@@ -50,7 +50,7 @@ from pyspark.sql.window import Window as W
 from ecc_spark.crawl.canonical import canonicalize_cols
 from ecc_spark.crawl.checkpoint import SnapshotTable
 from ecc_spark.crawl.politeness import schedule_budget
-from ecc_spark.crawl.robots import apply_robots
+from ecc_spark.crawl.robots import apply_robots, apply_robots_rep, parse_robots_txt
 from ecc_spark.crawl.seen import build_bloom, filter_unseen
 
 
@@ -98,6 +98,8 @@ class CrawlEngine:
         spark: SparkSession,
         workdir: str,
         robots: DataFrame | None = None,
+        robots_txt: DataFrame | None = None,
+        robots_agent: str = "ecc-spark",
         host_budget: int = 10,
         n_salts: int = 16,
         max_depth: int = 3,
@@ -112,10 +114,23 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.workdir = workdir
+        if robots_txt is not None and robots is not None:
+            raise ValueError("pass robots (pre-parsed rules) OR robots_txt (raw bodies), not both")
         self.robots = robots
+        # raw robots.txt bodies → RFC 9309 rule table (longest-match /
+        # allow-wins gate); parsed once, persisted (one row per host,
+        # broadcast at every gate site)
+        self._rep = None
+        if robots_txt is not None:
+            self._rep = parse_robots_txt(robots_txt, agent=robots_agent).persist()
         self.host_budget = host_budget
         self.n_salts = n_salts
         self.max_depth = max_depth
+        self._gate_robots = (
+            (lambda cand: apply_robots_rep(cand, self._rep))
+            if self._rep is not None
+            else (lambda cand: apply_robots(cand, self.robots))
+        )
         # transient fetch failures (fetchsim.fetch_ok): a failed URL is
         # NOT marked seen, so the append-only queue view (ever ⟍ seen)
         # reschedules it next wave automatically — retries need no retry
@@ -235,7 +250,7 @@ class CrawlEngine:
             cand = cand.withColumn(
                 "priority", F.coalesce("_user_priority", "priority")
             ).drop("_user_priority")
-        cand = apply_robots(cand, self.robots)
+        cand = self._gate_robots(cand)
         front = (
             cand.groupBy("url")
             .agg(
@@ -456,7 +471,7 @@ class CrawlEngine:
         out = fetched.select("depth", F.explode("outlinks").alias("raw_url"))
         out = out.filter(F.col("depth") < self.max_depth)
         cand = _canon(out.withColumnRenamed("raw_url", "url"))
-        cand = apply_robots(cand, self.robots)
+        cand = self._gate_robots(cand)
         cand = cand.groupBy("url").agg(
             F.first("host").alias("host"),
             F.first("priority").alias("priority"),
