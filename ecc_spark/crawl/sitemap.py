@@ -1,0 +1,126 @@
+"""Sitemap ingestion: XML urlset / sitemapindex / plain-text sitemaps →
+frontier seed rows.
+
+The reference seeds from a fixed entity list (cmd/build_matches_db.py
+loads entities, not URLs); a production crawler ALSO seeds from
+sitemaps, which is pure ingest: (host, content) bodies → one row per
+<url> entry with loc/lastmod/priority, or per child sitemap of an
+index. Parsing is a vectorized pandas UDF (one small DOM per sitemap,
+namespace-agnostic), so a batch of millions of sitemap bodies fans out
+across executors; the output feeds ``CrawlEngine.seed`` directly —
+sitemap <priority> (1.0 = most important) is mapped to the frontier's
+ascending priority order.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def parse_sitemap(content: str) -> list[dict]:
+    """One sitemap body → entry dicts.
+
+    Supports <urlset> (kind="url": loc, lastmod, priority),
+    <sitemapindex> (kind="sitemap": loc of the child sitemap — the
+    caller fetches and re-parses), and the plain-text format (one URL
+    per line). Namespace-agnostic: tags are matched on their local name
+    so the standard sitemaps.org xmlns — or its absence — both parse.
+    Malformed XML that doesn't look like XML at all falls back to the
+    text format; malformed XML that does is an empty parse, not a crash.
+    """
+    body = (content or "").strip()
+    if not body:
+        return []
+    if not body.startswith("<"):
+        return [
+            {"kind": "url", "loc": line.strip(), "lastmod": None, "priority": None}
+            for line in body.splitlines()
+            if line.strip()
+        ]
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return []
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    kind = "sitemap" if local(root.tag) == "sitemapindex" else "url"
+    out = []
+    for child in root:
+        if local(child.tag) not in ("url", "sitemap"):
+            continue
+        loc = lastmod = prio = None
+        for f in child:
+            name = local(f.tag)
+            if name == "loc":
+                loc = (f.text or "").strip() or None
+            elif name == "lastmod":
+                lastmod = (f.text or "").strip() or None
+            elif name == "priority":
+                try:
+                    prio = float((f.text or "").strip())
+                except ValueError:
+                    prio = None
+        if loc:
+            out.append({"kind": kind, "loc": loc, "lastmod": lastmod, "priority": prio})
+    return out
+
+
+_ENTRY_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("loc", T.StringType()),
+            T.StructField("lastmod", T.StringType()),
+            T.StructField("priority", T.DoubleType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_ENTRY_SCHEMA)
+def _parse_sitemap_udf(content: pd.Series) -> pd.Series:
+    return content.map(parse_sitemap)
+
+
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """(host, content) sitemap bodies → (host, kind, url, lastmod, priority).
+
+    lastmod is surfaced both raw and as a parsed UTC timestamp (W3C
+    datetime / ISO 8601 — ``try_to_timestamp`` nulls instead of raising
+    on the format zoo real sitemaps contain)."""
+    entries = sitemaps.select(
+        "host", F.explode(_parse_sitemap_udf("content")).alias("e")
+    )
+    return entries.select(
+        "host",
+        F.col("e.kind").alias("kind"),
+        F.col("e.loc").alias("url"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.try_to_timestamp(F.col("e.lastmod")).alias("lastmod_ts"),
+        F.col("e.priority").alias("priority"),
+    )
+
+
+def sitemap_seeds(parsed: DataFrame) -> DataFrame:
+    """URL entries of a parsed sitemap batch, shaped for
+    ``CrawlEngine.seed``: (url, priority) with sitemap priority
+    (descending importance, default 0.5) mapped onto the frontier's
+    ASCENDING priority order as ``1 - priority``."""
+    return parsed.filter(F.col("kind") == "url").select(
+        "url",
+        (1.0 - F.coalesce(F.col("priority"), F.lit(0.5))).alias("priority"),
+    )
+
+
+def child_sitemaps(parsed: DataFrame) -> DataFrame:
+    """Child sitemap locs of any index entries — the caller's fetch loop
+    retrieves these bodies and calls ``parse_sitemaps`` again (sitemap
+    indexes are one level deep by spec)."""
+    return parsed.filter(F.col("kind") == "sitemap").select("host", "url")

@@ -1,0 +1,85 @@
+"""Sitemap ingestion: XML urlset / sitemapindex / text formats, and the
+seed path into the crawl frontier."""
+
+from __future__ import annotations
+
+from ecc_spark.crawl.sitemap import (
+    child_sitemaps,
+    parse_sitemap,
+    parse_sitemaps,
+    sitemap_seeds,
+)
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://h.test/a</loc><lastmod>2026-01-02T03:04:05Z</lastmod><priority>0.9</priority></url>
+  <url><loc>http://h.test/b</loc></url>
+  <url><loc> http://h.test/c </loc><priority>bogus</priority></url>
+  <url><lastmod>2026-01-01</lastmod></url>
+</urlset>"""
+
+INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://h.test/sitemap-1.xml</loc><lastmod>2026-02-03</lastmod></sitemap>
+  <sitemap><loc>http://h.test/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+TEXT = "http://t.test/x\n\nhttp://t.test/y\n"
+
+
+def test_parse_sitemap_pure_python():
+    urls = parse_sitemap(URLSET)
+    assert [u["loc"] for u in urls] == [
+        "http://h.test/a", "http://h.test/b", "http://h.test/c",
+    ]  # loc-less entry dropped, loc whitespace stripped
+    assert urls[0]["priority"] == 0.9 and urls[2]["priority"] is None
+    assert urls[0]["lastmod"] == "2026-01-02T03:04:05Z"
+
+    idx = parse_sitemap(INDEX)
+    assert all(e["kind"] == "sitemap" for e in idx) and len(idx) == 2
+
+    txt = parse_sitemap(TEXT)
+    assert [e["loc"] for e in txt] == ["http://t.test/x", "http://t.test/y"]
+
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<urlset><url><loc>x") == []  # broken XML, no crash
+
+
+def test_parse_sitemaps_spark(spark):
+    df = spark.createDataFrame(
+        [("h.test", URLSET), ("h.test", INDEX), ("t.test", TEXT)],
+        "host string, content string",
+    )
+    parsed = parse_sitemaps(df)
+    rows = parsed.collect()
+    assert len(rows) == 7
+    ts = {r["url"]: r["lastmod_ts"] for r in rows}
+    assert ts["http://h.test/a"] is not None  # W3C datetime parsed
+    assert ts["http://h.test/b"] is None
+
+    seeds = {r["url"]: r["priority"] for r in sitemap_seeds(parsed).collect()}
+    assert seeds["http://h.test/a"] == 0.09999999999999998  # 1 - 0.9
+    assert seeds["http://h.test/b"] == 0.5  # default
+    assert "http://h.test/sitemap-1.xml" not in seeds  # index != seed
+
+    kids = {r["url"] for r in child_sitemaps(parsed).collect()}
+    assert kids == {"http://h.test/sitemap-1.xml", "http://h.test/sitemap-2.xml"}
+
+
+def test_sitemap_seeds_feed_the_frontier(spark, tmp_path):
+    """High-sitemap-priority URLs schedule FIRST: sitemap priority maps
+    onto the frontier's ascending order."""
+    from ecc_spark.crawl.frontier import CrawlEngine
+
+    body = """<urlset>
+      <url><loc>http://s.test/low</loc><priority>0.1</priority></url>
+      <url><loc>http://s.test/high</loc><priority>1.0</priority></url>
+      <url><loc>http://s.test/mid</loc><priority>0.5</priority></url>
+    </urlset>"""
+    df = spark.createDataFrame([("s.test", body)], "host string, content string")
+    eng = CrawlEngine(spark, str(tmp_path / "c"), host_budget=10, n_salts=4, max_depth=1)
+    eng.seed(sitemap_seeds(parse_sitemaps(df)))
+    got = [
+        r["url"]
+        for r in eng.frontier().orderBy("priority").select("url").collect()
+    ]
+    assert got == ["http://s.test/high", "http://s.test/mid", "http://s.test/low"]
