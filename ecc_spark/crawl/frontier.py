@@ -101,6 +101,7 @@ class CrawlEngine:
         robots_txt: DataFrame | None = None,
         robots_agent: str = "ecc-spark",
         host_budget: int = 10,
+        host_budgets: DataFrame | None = None,
         n_salts: int = 16,
         max_depth: int = 3,
         use_bloom: bool | str = "auto",
@@ -124,6 +125,10 @@ class CrawlEngine:
         if robots_txt is not None:
             self._rep = parse_robots_txt(robots_txt, agent=robots_agent).persist()
         self.host_budget = host_budget
+        # optional per-host overrides (host, budget) — e.g. derived from
+        # robots Crawl-delay via robots.host_budgets_from_delays; tiny,
+        # broadcast inside schedule_budget
+        self.host_budgets = host_budgets
         self.n_salts = n_salts
         self.max_depth = max_depth
         self._gate_robots = (
@@ -399,7 +404,9 @@ class CrawlEngine:
         # schedule: per-host budget, then ONE fused Python stage that
         # assigns the explicit crawl order AND fetches+extracts — the
         # scheduled set crosses Arrow exactly once
-        scheduled = schedule_budget(frontier, self.host_budget, self.n_salts)
+        scheduled = schedule_budget(
+            frontier, self.host_budget, self.n_salts, host_budgets=self.host_budgets
+        )
         fetched = self._order_and_fetch(scheduled, base)
         # one materialization: fetch runs exactly once; it is pinned to
         # the wave's snapshot directory (NOT localCheckpoint — local

@@ -20,23 +20,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def schedule_budget(frontier: DataFrame, host_budget: int, n_salts: int = 16) -> DataFrame:
-    """Top-``host_budget`` rows per host by (priority, url)."""
+def schedule_budget(
+    frontier: DataFrame,
+    host_budget: int,
+    n_salts: int = 16,
+    host_budgets: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``host_budget`` rows per host by (priority, url).
+
+    ``host_budgets`` (host, budget) overrides the default per host —
+    the Crawl-delay story: ``robots.host_budgets_from_delays`` feeds it.
+    One row per host → broadcast join; both phases filter on the host's
+    own budget, and the phase-1 per-(host, salt) cut is still a superset
+    of that host's global top-budget, so the salted result stays exactly
+    the single-window answer."""
+    if host_budgets is not None:
+        frontier = frontier.join(
+            F.broadcast(host_budgets.select("host", F.col("budget").alias("_hb"))),
+            "host",
+            "left",
+        )
+        budget_col = F.coalesce(F.col("_hb"), F.lit(host_budget))
+    else:
+        budget_col = F.lit(host_budget)
     salted = frontier.withColumn(
         "_salt", F.pmod(F.crc32(F.encode("url", "utf-8")), F.lit(n_salts))
     )
     w1 = W.partitionBy("host", "_salt").orderBy("priority", "url")
     local = (
         salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= host_budget)
+        .filter(F.col("_r1") <= budget_col)
         .drop("_r1")
     )
     w2 = W.partitionBy("host").orderBy("priority", "url")
-    return (
+    out = (
         local.withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= host_budget)
+        .filter(F.col("_r2") <= budget_col)
         .drop("_r2", "_salt")
     )
+    return out.drop("_hb") if host_budgets is not None else out
 
 
 def attach_order_key(

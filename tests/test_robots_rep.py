@@ -194,6 +194,74 @@ def test_engine_accepts_raw_robots_txt(spark, tmp_path):
         CrawlEngine(spark, str(tmp_path / "d"), robots=txt, robots_txt=txt)
 
 
+def test_per_host_budgets_in_scheduler(spark):
+    """schedule_budget(host_budgets=...) == the unsalted single-window
+    answer with each host's own k; hosts without an override keep the
+    default."""
+    from pyspark.sql.window import Window as W
+
+    from ecc_spark.crawl.politeness import schedule_budget
+
+    rng = random.Random(5)
+    rows = [
+        (f"h{h}", f"http://h{h}/p{i}", rng.random())
+        for h in range(4)
+        for i in range(30)
+    ]
+    frontier = spark.createDataFrame(rows, "host string, url string, priority double")
+    budgets = spark.createDataFrame(
+        [("h0", 3), ("h1", 25)], "host string, budget int"
+    )
+    got = {
+        (r["host"], r["url"])
+        for r in schedule_budget(
+            frontier, host_budget=10, n_salts=4, host_budgets=budgets
+        ).collect()
+    }
+    w = W.partitionBy("host").orderBy("priority", "url")
+    want = {
+        (r["host"], r["url"])
+        for r in frontier.withColumn("_r", F.row_number().over(w))
+        .filter(
+            F.col("_r")
+            <= F.when(F.col("host") == "h0", 3)
+            .when(F.col("host") == "h1", 25)
+            .otherwise(10)
+        )
+        .collect()
+    }
+    assert got == want
+    per_host = {}
+    for h, _ in got:
+        per_host[h] = per_host.get(h, 0) + 1
+    assert per_host == {"h0": 3, "h1": 25, "h2": 10, "h3": 10}
+
+
+def test_engine_crawl_delay_budgets_end_to_end(spark, tmp_path):
+    """robots_txt Crawl-delay → host_budgets_from_delays → engine: the
+    slow host schedules at most its derived budget per wave, others the
+    default."""
+    from ecc_spark.crawl.frontier import CrawlEngine
+
+    txt = spark.createDataFrame(
+        [("slow.test", "User-agent: *\nCrawl-delay: 30"),
+         ("fast.test", "User-agent: *\nDisallow: /none")],
+        "host string, content string",
+    )
+    rep = parse_robots_txt(txt)
+    budgets = host_budgets_from_delays(rep, wave_seconds=60, default_budget=8)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "c"), robots_txt=txt, host_budget=8,
+        host_budgets=budgets, n_salts=4, max_depth=1,
+    )
+    seeds = [(f"http://slow.test/p{i}",) for i in range(10)] + [
+        (f"http://fast.test/p{i}",) for i in range(10)
+    ]
+    eng.seed(spark.createDataFrame(seeds, "url string"))
+    res = eng.run(1)
+    assert res.waves[0].scheduled == 2 + 8  # slow: 60/30=2, fast: default 8
+
+
 def test_rep_gate_plan_broadcasts_rules(spark):
     txt = spark.createDataFrame([("h", ROBOTS_A)], "host string, content string")
     rep = parse_robots_txt(txt)
