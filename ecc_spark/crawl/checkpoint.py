@@ -240,6 +240,13 @@ class SnapshotTable:
             df.write.mode("overwrite").parquet(path)
         if rows is None:
             rows = int(obs.get["rows"])
+        self._publish(self._seal(snap_id, wave, rows))
+        return snap_id
+
+    def _seal(self, snap_id: int, wave: int, rows: int):
+        """Manifest mutation that publishes a written snapshot — the ONE
+        place the entry invariants (id monotonicity, next_id bump,
+        append flag) live; shared by commit and commit_rows."""
 
         def seal(m: dict) -> dict:
             out = dict(m)
@@ -251,8 +258,7 @@ class SnapshotTable:
             out["append"] = self.append
             return out
 
-        self._publish(seal)
-        return snap_id
+        return seal
 
     def commit_rows(self, rows: list[tuple], schema: str, wave: int) -> int:
         """Driver-side commit for SMALL metadata deltas (run_log lineage:
@@ -283,24 +289,19 @@ class SnapshotTable:
         man0 = self._manifest()
         snap_id = man0.get("next_id") or ((man0["latest"] or 0) + 1)
         path = os.path.join(self.dir, f"snap={snap_id}")
-        os.makedirs(path, exist_ok=True)
+        # clear any stale directory first (a crashed Spark-write attempt
+        # of the same unsealed id leaves part files; merging them would
+        # duplicate rows once sealed) — mirrors commit's mode(overwrite)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path)
         cols = [pa.array([r[i] for r in rows], type=types[i]) for i in range(len(names))]
         pq.write_table(
             pa.Table.from_arrays(cols, names=names),
             os.path.join(path, "part-00000.parquet"),
         )
-
-        def seal(m: dict) -> dict:
-            out = dict(m)
-            out["snapshots"] = m["snapshots"] + [
-                {"id": snap_id, "wave": wave, "rows": len(rows)}
-            ]
-            out["latest"] = max(snap_id, m["latest"] or 0)
-            out["next_id"] = max(m.get("next_id") or 0, snap_id + 1)
-            out["append"] = self.append
-            return out
-
-        self._publish(seal)
+        self._publish(self._seal(snap_id, wave, len(rows)))
         return snap_id
 
     def read(self, snapshot_id: int | None = None) -> DataFrame | None:

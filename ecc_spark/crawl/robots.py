@@ -191,4 +191,8 @@ def host_budgets_from_delays(
     ).otherwise(F.lit(default_budget))
     if max_budget is not None:
         b = F.least(b, F.lit(max_budget))
+    # clamp BEFORE the int cast: a hostile "Crawl-delay: 1e-9" yields a
+    # floor() beyond 2^31 and ANSI mode would abort the whole scheduling
+    # job on CAST_OVERFLOW — one adversarial robots.txt must not do that
+    b = F.least(b.cast("long"), F.lit(2_147_483_647))
     return rep_rules.select("host", b.cast("int").alias("budget"))

@@ -14,12 +14,16 @@ ascending priority order.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+_HTTP_URL = re.compile(r"^https?://[^\s/]+", re.IGNORECASE)
 
 
 def parse_sitemap(content: str) -> list[dict]:
@@ -37,10 +41,13 @@ def parse_sitemap(content: str) -> list[dict]:
     if not body:
         return []
     if not body.startswith("<"):
+        # text format: ONLY absolute http(s) URLs count — a plain-text
+        # error body ("Not Found", "rate limited, retry later") must not
+        # become frontier seeds line by line
         return [
             {"kind": "url", "loc": line.strip(), "lastmod": None, "priority": None}
             for line in body.splitlines()
-            if line.strip()
+            if _HTTP_URL.match(line.strip())
         ]
     try:
         root = ET.fromstring(body)
@@ -67,7 +74,7 @@ def parse_sitemap(content: str) -> list[dict]:
                     prio = float((f.text or "").strip())
                 except ValueError:
                     prio = None
-        if loc:
+        if loc and _HTTP_URL.match(loc):
             out.append({"kind": kind, "loc": loc, "lastmod": lastmod, "priority": prio})
     return out
 
@@ -108,12 +115,22 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
     )
 
 
-def sitemap_seeds(parsed: DataFrame) -> DataFrame:
+def sitemap_seeds(parsed: DataFrame, same_host: bool = True) -> DataFrame:
     """URL entries of a parsed sitemap batch, shaped for
     ``CrawlEngine.seed``: (url, priority) with sitemap priority
     (descending importance, default 0.5) mapped onto the frontier's
-    ASCENDING priority order as ``1 - priority``."""
-    return parsed.filter(F.col("kind") == "url").select(
+    ASCENDING priority order as ``1 - priority``.
+
+    ``same_host`` (default, per sitemaps.org's cross-submission rule)
+    drops entries whose <loc> host differs from the host that served the
+    sitemap — one host's sitemap must not inject URLs for another."""
+    urls = parsed.filter(F.col("kind") == "url")
+    if same_host:
+        loc_host = F.lower(
+            F.regexp_extract("url", r"^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]+)", 1)
+        )
+        urls = urls.filter(loc_host == F.lower(F.col("host")))
+    return urls.select(
         "url",
         (1.0 - F.coalesce(F.col("priority"), F.lit(0.5))).alias("priority"),
     )

@@ -348,7 +348,7 @@ _DECON_N = 8  # 8-gram overlap = the usual benchmark-leakage test
 _DECON_CONTRACT_N = 4
 
 
-def decontaminate(spark: SparkSession, sf: str, n: int = _DECON_CONTRACT_N) -> DataFrame:
+def decontaminate(spark: SparkSession, sf: str, n: int = _DECON_N) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word-n-gram with the benchmark set (here: every 97th doc, standing
     in for an eval suite). Output = flagged doc_id + how many distinct
@@ -483,7 +483,9 @@ QUERIES.update(
         "bm25_topk": bm25_topk,
         "pii_redact": pii_redact,
         "pack_sequences": pack_sequences,
-        "decontaminate": decontaminate,
+        # contract registration pins n=4 explicitly (non-vacuous oracle);
+        # the PUBLIC default stays the production 8-gram test
+        "decontaminate": lambda spark, sf: decontaminate(spark, sf, n=_DECON_CONTRACT_N),
         "ngram_topk": ngram_topk,
         "repetition_quality": repetition_quality,
         "stratified_sample": stratified_sample,

@@ -251,6 +251,20 @@ def ann_ivf_multiprobe(spark: SparkSession, sf: str, nprobe: int = _NPROBE) -> D
 
 # -- Lloyd-trained IVF (production training path) ----------------------
 
+_PERSISTED: list = []  # centroid frames persisted by the previous call
+
+
+def _drain_persisted() -> None:
+    """Free the previous call's persisted centroid table (same janitor
+    pattern as ops/dedup.py): callers get no unpersist handle, so each
+    kmeans_lloyd call releases the last one's cache — bench/min-of-N
+    loops must not accumulate persisted blocks for the session's life."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+
 
 def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (cell, centroid) table,
@@ -296,6 +310,7 @@ def kmeans_lloyd(
     would swap the first-k seed for k-means||; the iteration body is the
     same.
     """
+    _drain_persisted()
     vecs = e.select("vec_id", "embedding")
     seed = (
         vecs.orderBy("vec_id")
@@ -313,6 +328,10 @@ def kmeans_lloyd(
         nxt.count()  # materialize before dropping the previous centroids
         cent.unpersist()
         cent = nxt
+    # the final centroid table stays persisted (the returned lazy
+    # assignment and the caller's search both consume it repeatedly);
+    # the NEXT kmeans_lloyd call frees it via the janitor
+    _PERSISTED.append(cent)
     assigned = _assign_cells(vecs, cent).select("vec_id", "cell")
     return cent, assigned
 

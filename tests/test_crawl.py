@@ -547,6 +547,29 @@ def test_manifest_commits_are_create_new_files(spark, tmp_path):
     assert t.read().count() == 6
 
 
+def test_commit_rows_clears_stale_snapshot_dir(spark, tmp_path):
+    """Review finding r4: a crashed write attempt leaves part files under
+    an unsealed snap=<id>; commit_rows must clear them, or the sealed
+    snapshot would merge stale rows (inflating run_log sums and the
+    resume order-key base)."""
+    import os
+
+    from ecc_spark.crawl.checkpoint import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "rl", append=True)
+    t.commit_rows([(0, 5)], schema="wave int, scheduled long", wave=0)
+    # simulate a crashed attempt at the NEXT id: stale part file exists
+    stale = os.path.join(t.dir, "snap=2")
+    os.makedirs(stale)
+    spark.createDataFrame([(9, 999)], "wave int, scheduled long").write.mode(
+        "overwrite"
+    ).parquet(stale)
+    t.commit_rows([(1, 7)], schema="wave int, scheduled long", wave=1)
+    rows = {(r["wave"], r["scheduled"]) for r in t.read().collect()}
+    assert rows == {(0, 5), (1, 7)}  # the stale (9, 999) row is gone
+    assert t.latest_rows() == 2
+
+
 def test_manifest_publish_interleaved_competitor_not_lost(spark, tmp_path):
     """ADVICE r3: a competitor publishing BETWEEN our manifest read and
     our link must collide on our slot and force the re-apply path — its

@@ -160,6 +160,17 @@ def test_host_budgets_from_delays(spark):
     }
     assert got == {"fast": 50, "slow": 2, "glacial": 1}
 
+    # hostile tiny delay must clamp, not abort the job on CAST_OVERFLOW
+    # (ANSI mode) — one adversarial robots.txt can't kill scheduling
+    hostile = parse_robots_txt(
+        spark.createDataFrame(
+            [("evil", "User-agent: *\nCrawl-delay: 1e-9")],
+            "host string, content string",
+        )
+    )
+    row = host_budgets_from_delays(hostile, wave_seconds=60, default_budget=8).first()
+    assert row["budget"] == 2_147_483_647
+
 
 def test_engine_accepts_raw_robots_txt(spark, tmp_path):
     """CrawlEngine(robots_txt=...) speaks REP end-to-end: disallowed

@@ -65,6 +65,33 @@ def test_parse_sitemaps_spark(spark):
     assert kids == {"http://h.test/sitemap-1.xml", "http://h.test/sitemap-2.xml"}
 
 
+def test_error_bodies_and_cross_host_locs_do_not_seed(spark):
+    """Review findings r4: a plain-text error body must not become
+    frontier seeds line by line, and one host's sitemap must not inject
+    another host's URLs (sitemaps.org cross-submission rule) unless
+    explicitly allowed."""
+    assert parse_sitemap("Not Found") == []
+    assert parse_sitemap("Rate limit exceeded\nretry later") == []
+    mixed = "http://ok.test/a\ngarbage line\nftp://no.test/b\nhttps://ok.test/c"
+    assert [e["loc"] for e in parse_sitemap(mixed)] == [
+        "http://ok.test/a", "https://ok.test/c",
+    ]
+
+    body = """<urlset>
+      <url><loc>http://mine.test/a</loc></url>
+      <url><loc>http://other.test/b</loc></url>
+      <url><loc>relative/path</loc></url>
+    </urlset>"""
+    df = spark.createDataFrame([("mine.test", body)], "host string, content string")
+    parsed = parse_sitemaps(df)
+    assert {r["url"] for r in sitemap_seeds(parsed).collect()} == {
+        "http://mine.test/a"
+    }
+    assert {r["url"] for r in sitemap_seeds(parsed, same_host=False).collect()} == {
+        "http://mine.test/a", "http://other.test/b",
+    }
+
+
 def test_sitemap_seeds_feed_the_frontier(spark, tmp_path):
     """High-sitemap-priority URLs schedule FIRST: sitemap priority maps
     onto the frontier's ascending order."""
