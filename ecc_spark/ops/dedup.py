@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 from pyspark.storagelevel import StorageLevel
 
 from ecc_spark.ops.tables import load
@@ -457,6 +458,81 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def dup_spans(
+    docs: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", §ExactSubstr): find every
+    maximal TOKEN RANGE covered by k-token windows that occur
+    ``min_count``+ times across the corpus — the spans a pretraining
+    pipeline cuts out of documents rather than dropping whole docs.
+
+    Input: (doc_id, text). Output: (doc_id, span_start, span_end,
+    n_windows) with [span_start, span_end) in token positions, spans
+    maximal (adjacent/overlapping duplicated windows merged).
+
+    Scale shape: windows explode to one row per token position; the
+    occurrence count is a map-side-combined hash-agg on xxhash64 —
+    uniform keys, no text in the shuffle (the window string itself
+    never leaves the row). The marked positions come back via an
+    equi-join on the hash (the count table is duplicated-windows only —
+    tiny vs the corpus by construction), and the island merge is a
+    per-doc window function whose partition is bounded by document
+    length. Hash collisions (~n²/2⁶⁴) can only over-mark a window —
+    acceptable for a cut list; use the window text as the key if
+    exactness is required.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= k
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, k))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h").select("doc_id", "pos")
+    # gaps-and-islands: a new span starts where this window begins past
+    # every previous window's end (running max of pos+k, exclusive)
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w_doc.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "new_span", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+    ).withColumn(
+        "span_id", F.sum("new_span").over(w_doc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("span_id")
+    )
+
+
+def dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract wrapper: duplicated ≥8-token spans over `documents`.
+    Rows-only: the gaps-and-islands merge needs running-max window
+    semantics DuckDB states differently enough that the hash layer
+    (xxhash64) has no portable twin; semantics are pinned by the
+    pure-Python mirror test instead."""
+    return dup_spans(load(spark, sf, "documents"), k=8)
+
+
+# ---------------------------------------------------------------------------
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
@@ -561,6 +637,9 @@ QUERIES.update(
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_clusters": dedup_clusters,
+        # rows-only: xxhash64 window keys have no DuckDB twin; pinned by
+        # the pure-Python mirror test (tests/test_training_ops.py)
+        "dedup_substring": dedup_substring,
     }
 )
 ORACLES.update(

@@ -405,7 +405,77 @@ def test_simhash_pairs_band_join_hamming_semantics(spark):
     assert not any("d3" in p for p in got), got  # hamming-8 never pairs
 
 
-def test_connected_components_crafted_graph(spark):
+def test_dup_spans_matches_pure_python_mirror(spark):
+    """Exact-substring dedup == an independent pure-Python recompute:
+    duplicated k-token windows (count >= 2 corpus-wide), merged to
+    maximal per-doc spans."""
+    import duckdb
+
+    from ecc_spark.ops.dedup import dup_spans
+
+    k = 8
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    from collections import Counter
+
+    counts: Counter = Counter()
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        wins = [(i, " ".join(w[i : i + k])) for i in range(len(w) - k + 1)]
+        if len(w) >= k:
+            per_doc[doc_id] = wins
+            counts.update(g for _, g in wins)
+    want = set()
+    for doc_id, wins in per_doc.items():
+        marked = sorted(i for i, g in wins if counts[g] >= 2)
+        spans, cur = [], None
+        for i in marked:
+            if cur is not None and i <= cur[1]:
+                cur = (cur[0], max(cur[1], i + k), cur[2] + 1)
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (i, i + k, 1)
+        if cur:
+            spans.append(cur)
+        for s, e, n in spans:
+            want.add((doc_id, s, e, n))
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dup_spans(df, k=k).collect()
+    }
+    assert got == want
+    assert want  # the synthetic corpus does contain duplicated 8-grams
+
+
+def test_dup_spans_crafted_merge(spark):
+    """Adjacent and overlapping duplicated windows merge into ONE
+    maximal span; isolated duplicates stay separate; unique text yields
+    nothing."""
+    from ecc_spark.ops.dedup import dup_spans
+
+    shared = "a b c d e f"  # 6 tokens; k=4 → 3 windows in 'x shared y'
+    rows = [
+        (1, f"p1 p2 {shared} q1 q2 {shared} r1"),
+        (2, f"z1 {shared} z2 z3"),
+        (3, "all tokens here are unique u1 u2 u3 u4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dup_spans(df, k=4).collect()
+    }
+    # doc 1: tokens 2-7 and 10-15 are the shared run → windows at 2,3,4
+    # (span [2,8)) and 10,11,12 (span [10,16)); doc 2: windows 1,2,3 →
+    # span [1,7); doc 3: nothing
+    assert got == {(1, 2, 8), (1, 10, 16), (2, 1, 7)}
     """Chain (log-round pointer jumping must close it), triangle,
     singleton, and a two-edge star — component = min reachable id."""
     from ecc_spark.ops.dedup import connected_components
