@@ -163,18 +163,54 @@ def cmd_crawl(args) -> int:
     from ecc_spark.session import get_spark
 
     spark = get_spark("ecc_crawl")
-    robots = None
+    robots = robots_txt = host_budgets = None
+    if args.robots_parquet and args.robots_dir:
+        print("pass --robots-parquet OR --robots-dir, not both", file=sys.stderr)
+        return 2
     if args.robots_parquet:
         robots = spark.read.parquet(args.robots_parquet)
+    if args.robots_dir:
+        # one <host>.txt per host, RFC 9309 bodies → REP gate; Crawl-delay
+        # becomes a per-host politeness budget (60s wave horizon)
+        import glob as _glob
+
+        from ecc_spark.crawl.robots import host_budgets_from_delays, parse_robots_txt
+
+        bodies = []
+        for path in sorted(_glob.glob(os.path.join(args.robots_dir, "*.txt"))):
+            host = os.path.splitext(os.path.basename(path))[0]
+            with open(path, encoding="utf-8") as fh:
+                bodies.append((host, fh.read()))
+        robots_txt = spark.createDataFrame(bodies or [("", "")], "host string, content string")
+        host_budgets = host_budgets_from_delays(
+            parse_robots_txt(robots_txt), wave_seconds=60,
+            default_budget=args.host_budget,
+        )
     eng = CrawlEngine(
-        spark, args.workdir, robots=robots, host_budget=args.host_budget,
+        spark, args.workdir, robots=robots, robots_txt=robots_txt,
+        host_budgets=host_budgets, host_budget=args.host_budget,
         n_salts=args.n_salts, max_depth=args.max_depth,
         failure_permille=args.failure_permille, resume=args.resume,
     )
     if not args.resume:
-        with open(args.seeds_txt, encoding="utf-8") as fh:
-            urls = [line.strip() for line in fh if line.strip()]
-        eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))
+        if args.seed_sitemaps:
+            # a directory of <host>.xml|.txt sitemap bodies seeds the
+            # frontier (sitemap <priority> maps onto crawl order)
+            import glob as _g
+
+            from ecc_spark.crawl.sitemap import parse_sitemaps, sitemap_seeds
+
+            bodies = []
+            for path in sorted(_g.glob(os.path.join(args.seed_sitemaps, "*"))):
+                host = os.path.splitext(os.path.basename(path))[0]
+                with open(path, encoding="utf-8") as fh:
+                    bodies.append((host, fh.read()))
+            sm = spark.createDataFrame(bodies, "host string, content string")
+            eng.seed(sitemap_seeds(parse_sitemaps(sm)))
+        else:
+            with open(args.seeds_txt, encoding="utf-8") as fh:
+                urls = [line.strip() for line in fh if line.strip()]
+            eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))
     res = eng.run(args.waves)
     for w in res.waves:
         print(
@@ -235,7 +271,14 @@ def main(argv: list[str] | None = None) -> int:
     p = subs.add_parser("crawl", formatter_class=_formatter, parents=[common])
     p.add_argument("seeds_txt")
     p.add_argument("workdir")
-    p.add_argument("--robots-parquet", default=None)
+    p.add_argument("--seed-sitemaps", default=None, metavar="DIR",
+                   help="seed from a directory of <host>.xml|.txt sitemap "
+                        "bodies instead of seeds_txt (pass '-' as seeds_txt)")
+    p.add_argument("--robots-parquet", default=None,
+                   help="pre-parsed (host, path_prefix, allow) rules")
+    p.add_argument("--robots-dir", default=None,
+                   help="directory of <host>.txt RFC 9309 robots.txt bodies; "
+                        "enables the REP gate and Crawl-delay budgets")
     p.add_argument("--host-budget", type=int, default=100)
     p.add_argument("--n-salts", type=int, default=16)
     p.add_argument("--max-depth", type=int, default=3)

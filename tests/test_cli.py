@@ -101,3 +101,29 @@ def test_cli_crawl_and_resume(spark, tmp_path):
     seen = SnapshotTable(spark, wd, "seen", append=True).read()
     assert seen.count() > 0
     assert seen.select(F.countDistinct("order_key")).first()[0] == seen.count()
+
+
+def test_cli_crawl_robots_dir_and_sitemap_seeds(spark, tmp_path):
+    """--robots-dir (RFC 9309 bodies, REP gate + Crawl-delay budgets)
+    and --seed-sitemaps (directory of sitemap bodies) end-to-end."""
+    rd = tmp_path / "robots"
+    sd = tmp_path / "maps"
+    rd.mkdir()
+    sd.mkdir()
+    (rd / "s.test.txt").write_text(
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 10", encoding="utf-8"
+    )
+    (sd / "s.test.xml").write_text(
+        "<urlset><url><loc>http://s.test/a</loc><priority>0.9</priority></url>"
+        "<url><loc>http://s.test/private/x</loc></url>"
+        "<url><loc>http://s.test/b</loc></url></urlset>",
+        encoding="utf-8",
+    )
+    wd = str(tmp_path / "wd")
+    assert cli(["ecc", "crawl", "-", wd, "--robots-dir", str(rd),
+                "--seed-sitemaps", str(sd), "--waves", "1",
+                "--host-budget", "5", "--n-salts", "4", "--max-depth", "1"]) == 0
+    from ecc_spark.crawl.checkpoint import SnapshotTable
+
+    seen = {r["url"] for r in SnapshotTable(spark, wd, "seen", append=True).read().collect()}
+    assert seen == {"http://s.test/a", "http://s.test/b"}  # /private/ gated
