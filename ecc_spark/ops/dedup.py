@@ -362,7 +362,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     Shape at 100 TB: tokens×64 rows flow straight into a map-side-
     combined hash-agg keyed on (doc_id, bit) — per-group cardinality is
-    bounded by document length, no skew story needed, no joins.
+    bounded by document length, no skew story needed, no joins. The
+    explode-free alternative (64 conditional sum aggregates per doc)
+    was measured 2.3x SLOWER warm at sf0.1 (1.33s vs 0.58s) — the
+    exploded pipeline stays in whole-stage codegen while 64 separate
+    aggregate expressions do not — so the fanout is the right trade.
     """
     tok = df.select(id_col, F.explode(F.split(F.lower(text_col), " ")).alias("t")).select(
         id_col, F.xxhash64("t").alias("h")
