@@ -463,7 +463,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 def dup_spans(
-    docs: DataFrame, k: int = 8, min_count: int = 2
+    docs: DataFrame, k: int = 8, min_count: int = 2, keep_first: bool = False
 ) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better", §ExactSubstr): find every
@@ -500,11 +500,25 @@ def dup_spans(
     )
     dup_h = (
         wins.groupBy("h")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
         .filter(F.col("cnt") >= min_count)
-        .select("h")
+        .select("h", "first")
     )
-    marked = wins.join(dup_h, "h").select("doc_id", "pos")
+    marked = wins.join(dup_h, "h")
+    if keep_first:
+        # ``keep_first`` spares each window's canonical occurrence (min
+        # (doc_id, pos)) — the cut-list variant: remove every repeat,
+        # keep one copy in the corpus (Lee et al. §ExactSubstr cut rule)
+        marked = marked.filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+    marked = marked.select("doc_id", "pos")
     # gaps-and-islands: a new span starts where this window begins past
     # every previous window's end (running max of pos+k, exclusive)
     w_doc = W.partitionBy("doc_id").orderBy("pos")
@@ -534,6 +548,39 @@ def dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     (xxhash64) has no portable twin; semantics are pinned by the
     pure-Python mirror test instead."""
     return dup_spans(load(spark, sf, "documents"), k=8)
+
+
+def substring_cut(docs: DataFrame, k: int = 8, min_count: int = 2) -> DataFrame:
+    """Apply the ExactSubstr CUT: remove every duplicated k-token span
+    except each window's canonical first occurrence (min (doc_id, pos))
+    — one copy of every repeated substring survives in the corpus.
+
+    Output: (doc_id, cut_text, n_cut_tokens). The span list per doc is
+    bounded by document length (collect_list is safe), and the cut
+    itself is row-local array work: tokens whose position falls inside
+    any of the doc's spans are dropped with a two-arg filter lambda —
+    no UDF, no extra shuffle beyond dup_spans' own aggregations."""
+    spans = dup_spans(docs, k=k, min_count=min_count, keep_first=True)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = F.split("text", " ")
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            "spans", lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"])
+        ),
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.col("text"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("cut_text"),
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("long")
+        .alias("n_cut_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -455,6 +455,25 @@ def test_dup_spans_matches_pure_python_mirror(spark):
     assert want  # the synthetic corpus does contain duplicated 8-grams
 
 
+def test_substring_cut_keeps_one_copy(spark):
+    """The cut removes every duplicated span EXCEPT the canonical first
+    occurrence: the earliest (doc_id, pos) copy survives, repeats
+    disappear, untouched docs pass through byte-identical."""
+    from ecc_spark.ops.dedup import substring_cut
+
+    shared = "a b c d"  # k=4 → exactly one window per occurrence
+    rows = [
+        (1, f"p1 {shared} p2"),        # first occurrence → kept
+        (2, f"q1 q2 {shared} q3"),     # repeat → cut
+        (3, "nothing duplicated here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cut_text"], r["n_cut_tokens"]) for r in substring_cut(df, k=4).collect()}
+    assert got[1] == (f"p1 {shared} p2", 0)
+    assert got[2] == ("q1 q2 q3", 4)
+    assert got[3] == ("nothing duplicated here at all", 0)
+
+
 def test_dup_spans_crafted_merge(spark):
     """Adjacent and overlapping duplicated windows merge into ONE
     maximal span; isolated duplicates stay separate; unique text yields
