@@ -382,6 +382,197 @@ def ann_ivf_lloyd(
     )
 
 
+# -- Product quantization (IVF-PQ style ADC search) --------------------
+
+
+def pq_train(
+    e: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2
+) -> DataFrame:
+    """Train product-quantization codebooks: split each vector into
+    ``m`` equal subvectors and run k-means with ``k`` centroids in EVERY
+    subspace — all subspaces train in the same jobs (the frame is keyed
+    by (sub_j, vec_id), so one assignment join and one re-average agg
+    per Lloyd iteration cover all m codebooks at once; iteration count
+    does not scale with m). Returns (sub_j, cell, centroid).
+
+    At 100 TB this is the memory-bound ANN path: a 64-d float vector
+    (256 B) compresses to m=8 code bytes, so the candidate scan reads
+    ~30x less and the full corpus's codes fit where raw vectors cannot
+    (FAISS IVFPQ's layout, expressed relationally)."""
+    dim_col = F.size("embedding")
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("sub_j"),
+                    F.transform(
+                        F.slice("embedding", j * (dim_col / m).cast("int") + 1,
+                                (dim_col / m).cast("int")),
+                        lambda x: F.round(x.cast("double"), 6),
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub_j", "s.sv")
+
+    def assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+        sim = F.aggregate(
+            F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        w = W.partitionBy("vec_id", "sub_j").orderBy(F.round(sim, 6), "cell")
+        return (
+            vecs.join(F.broadcast(cent), "sub_j")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "sub_j", "sv", "cell")
+        )
+
+    def reaverage(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("sub_j", "cell", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub_j", "cell", "pos")
+            .agg(F.avg("v").alias("mval"))
+            .groupBy("sub_j", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select(
+                "sub_j", "cell",
+                F.transform("pm", lambda s: F.round(s["mval"], 6)).alias("centroid"),
+            )
+        )
+
+    seed = (
+        sub.filter(F.col("vec_id") < k)
+        .select("sub_j", (F.col("vec_id") + 1).cast("int").alias("cell"),
+                F.col("sv").alias("centroid"))
+    )
+    cent = seed.persist()
+    for _ in range(n_iter):
+        nxt = reaverage(assign(sub, cent)).persist()
+        nxt.count()
+        cent.unpersist()
+        cent = nxt
+    _PERSISTED.append(cent)
+    return cent
+
+
+def pq_encode(e: DataFrame, codebooks: DataFrame, m: int = 8) -> DataFrame:
+    """(vec_id, codes array<int>): nearest codebook cell per subspace —
+    the compressed representation the candidate scan stores."""
+    dim_col = F.size("embedding")
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("sub_j"),
+                    F.transform(
+                        F.slice("embedding", j * (dim_col / m).cast("int") + 1,
+                                (dim_col / m).cast("int")),
+                        lambda x: F.round(x.cast("double"), 6),
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub_j", "s.sv")
+    dist = F.aggregate(
+        F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("vec_id", "sub_j").orderBy(F.round(dist, 6), "cell")
+    best = (
+        sub.join(F.broadcast(codebooks), "sub_j")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "sub_j", "cell")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub_j", "cell"))).alias("sc"))
+        .select("vec_id", F.transform("sc", lambda s: s["cell"]).alias("codes"))
+    )
+
+
+def ann_pq_adc(
+    spark: SparkSession, sf: str, m: int = 8, k_cells: int = 16, topk: int = 5
+) -> DataFrame:
+    """PQ + asymmetric distance computation: queries stay full-precision,
+    candidates are their m code bytes; per query a (m × k) lookup table
+    of subvector distances broadcasts and scoring is one row-local
+    array fold over the codes — the scan reads codes only, never raw
+    embeddings. Approximate by construction (codes quantize), so this is
+    pinned by recall tests, not a value oracle."""
+    e = load(spark, sf, "embeddings")
+    books = pq_train(e, m=m, k=k_cells)
+    codes = pq_encode(e, books, m=m)
+
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim_col = F.size("embedding")
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("sub_j"),
+                    F.transform(
+                        F.slice("embedding", j * (dim_col / m).cast("int") + 1,
+                                (dim_col / m).cast("int")),
+                        lambda x: F.round(x.cast("double"), 6),
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("query_id", "s.sub_j", "s.sv")
+    dist = F.aggregate(
+        F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # per-query LUT: lut[sub_j][cell] = squared subvector distance;
+    # m×k_cells rows per query → folded into one array-of-arrays row
+    # one flat (sub_j, cell)→distance MAP per query (not position-indexed
+    # arrays: a Lloyd iteration can empty a cell, and a missing cell must
+    # not shift its neighbors' indices)
+    lut = (
+        qsub.join(F.broadcast(books), "sub_j")
+        .select(
+            "query_id",
+            (F.col("sub_j") * 100_000 + F.col("cell")).alias("jc"),
+            F.round(dist, 6).alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("jc", "d"))).alias("lut"))
+    )
+    # ADC score: sum over subspaces of lut[j][code_j] — pure row-local
+    scored = codes.crossJoin(F.broadcast(lut)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at("lut", j * 100_000 + c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("query_id").orderBy(F.round(adc, 6), "vec_id")
+    return (
+        scored.withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
+    )
+
+
 QUERIES.update(
     {
         "ann_topk_cosine": ann_topk_cosine,
@@ -391,6 +582,9 @@ QUERIES.update(
         # without engine-matched float fold order across iterations);
         # semantics pinned by recall + nprobe=all≡brute-force tests
         "ann_ivf_lloyd": ann_ivf_lloyd,
+        # rows-only: PQ quantization is approximate by construction —
+        # pinned by exactness (k_cells >= n) and blob-recall tests
+        "ann_pq_adc": ann_pq_adc,
         "embedding_near_dup": embedding_near_dup,
     }
 )

@@ -181,6 +181,50 @@ def test_lloyd_ivf_all_probes_equals_brute_force(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_pq_adc_exact_when_codebook_covers_vectors(spark, tmp_path):
+    """With k_cells >= n_vectors every vector is its own codebook cell
+    (Lloyd keeps the seed points), so ADC distances are EXACT squared
+    L2 on the 6-dp-rounded vectors — the top-5 must equal a brute-force
+    recompute."""
+    import random
+
+    from ecc_spark.ops.similarity import ann_pq_adc
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(16)], 0)
+        for i in range(16)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_pq_adc(spark, str(tmp_path), m=8, k_cells=16).collect()
+    }
+    embs = {i: [round(float(x), 6) for x in v] for i, v, _ in rows}
+    for q in range(16):
+        dists = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(embs[q], embs[c])), 6), c)
+            for c in range(16)
+            if c != q
+        )
+        for rank in range(1, 6):
+            assert got[(q, rank)] == dists[rank - 1][1], (q, rank)
+
+
+def test_pq_adc_recall_on_blob_fixture(spark, tmp_path):
+    """PQ is lossy, but on separable blobs its top-5 must overlap the
+    true neighbors far above chance (5/79 ≈ 0.06)."""
+    from ecc_spark.ops.similarity import ann_pq_adc
+
+    sf = _blob_fixture(spark, tmp_path)
+    rows = ann_pq_adc(spark, sf, m=4, k_cells=8).collect()
+    recall = _recall_vs_brute(spark, sf, rows)
+    assert recall > 0.5, recall
+
+
 def test_multimodal_features_deterministic_and_shaped(spark):
     media = synth_media(spark, n=60)
     f1 = {r["media_ref"]: (r["mean"], r["std"]) for r in decode_features(media).collect()}
