@@ -52,6 +52,9 @@ HEADLINE = [
 ]
 
 
+CRAWL_RUNS = int(os.environ.get("SPARK_GRAFT_CRAWL_RUNS", "3"))
+
+
 def crawl_bench(spark, n_urls: int = 8000, waves: int = 2, budget: int = 120) -> dict:
     import shutil
 
@@ -63,8 +66,12 @@ def crawl_bench(spark, n_urls: int = 8000, waves: int = 2, budget: int = 120) ->
         gen.robots_rules(n_hosts=60, seed=9),
         schema="host string, path_prefix string, allow boolean",
     )
+    # best-of-CRAWL_RUNS (3): the crawl leg is the single most
+    # noise-sensitive number on this shared box (identical code measured
+    # 5.4k-8.9k urls/s across one afternoon); one extra ~5s run buys the
+    # least-interfered measurement. Recorded in the output as crawl_runs.
     best = None
-    for _ in range(RUNS):
+    for _ in range(CRAWL_RUNS):
         workdir = tempfile.mkdtemp(prefix="bench_crawl_", dir="/dev/shm")
         eng = CrawlEngine(
             spark, workdir, robots=robots_df,
@@ -133,6 +140,7 @@ def main() -> int:
         "sf": SF_DIR,
         "cpus": CPUS,
         "runs_per_query": RUNS,
+        "crawl_runs": CRAWL_RUNS,
         "agg": "min",
         "crawl_urls_per_sec": crawl["urls_extracted_per_sec"],
         "crawl": crawl,
