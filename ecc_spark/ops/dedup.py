@@ -498,14 +498,14 @@ def dup_spans(
             )
         ).alias("pos", "h"),
     )
+    # the min-struct canonical-occurrence aggregate rides the hottest
+    # groupBy only when keep_first needs it — the default span-list path
+    # must not carry dead agg state through the corpus-wide shuffle
+    aggs = [F.count("*").alias("cnt")]
+    if keep_first:
+        aggs.append(F.min(F.struct("doc_id", "pos")).alias("first"))
     dup_h = (
-        wins.groupBy("h")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
-        .filter(F.col("cnt") >= min_count)
-        .select("h", "first")
+        wins.groupBy("h").agg(*aggs).filter(F.col("cnt") >= min_count).drop("cnt")
     )
     marked = wins.join(dup_h, "h")
     if keep_first:
@@ -552,8 +552,16 @@ def dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
 
 def substring_cut(docs: DataFrame, k: int = 8, min_count: int = 2) -> DataFrame:
     """Apply the ExactSubstr CUT: remove every duplicated k-token span
-    except each window's canonical first occurrence (min (doc_id, pos))
-    — one copy of every repeated substring survives in the corpus.
+    except each window's canonical first occurrence (min (doc_id, pos)).
+
+    Guarantee is PER WINDOW, not per region: when distinct duplicated
+    windows overlap, a doc can hold window A's canonical copy while an
+    overlapping non-canonical window B marks some of the same tokens —
+    those tokens are cut, partially mutilating A's spared copy (Lee et
+    al.'s reference cutter has the same property; guaranteeing intact
+    survivors for overlapping duplicates requires region-level
+    canonicalization, a different algorithm). Non-overlapping duplicated
+    substrings DO keep exactly one intact copy in the corpus.
 
     Output: (doc_id, cut_text, n_cut_tokens). The span list per doc is
     bounded by document length (collect_list is safe), and the cut

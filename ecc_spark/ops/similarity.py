@@ -385,6 +385,56 @@ def ann_ivf_lloyd(
 # -- Product quantization (IVF-PQ style ADC search) --------------------
 
 
+def _subvectors(df: DataFrame, id_col: str, m: int) -> DataFrame:
+    """Explode each embedding into its m equal subvectors, 6-dp-rounded:
+    (id_col, sub_j, sv). ONE definition shared by training, encoding and
+    query-LUT construction — the three must quantize identically or ADC
+    distances silently corrupt. Refuses a dimension not divisible by m
+    (a floor split would silently drop the trailing dims from every
+    distance)."""
+    dim = len(df.select("embedding").first()["embedding"])
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
+    sub_len = dim // m
+    return df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("sub_j"),
+                    F.transform(
+                        F.slice("embedding", j * sub_len + 1, sub_len),
+                        lambda x: F.round(x.cast("double"), 6),
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, "s.sub_j", "s.sv")
+
+
+def _sq_dist(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Nearest codebook cell per (vector, subspace): broadcast the
+    codebooks, rank by rounded squared distance (ties on cell)."""
+    w = W.partitionBy(id_col, "sub_j").orderBy(
+        F.round(_sq_dist("sv", "centroid"), 6), "cell"
+    )
+    return (
+        sub.join(F.broadcast(cent), "sub_j")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, "sub_j", "sv", "cell")
+    )
+
+
 def pq_train(
     e: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2
 ) -> DataFrame:
@@ -399,37 +449,8 @@ def pq_train(
     (256 B) compresses to m=8 code bytes, so the candidate scan reads
     ~30x less and the full corpus's codes fit where raw vectors cannot
     (FAISS IVFPQ's layout, expressed relationally)."""
-    dim_col = F.size("embedding")
-    sub = e.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.struct(
-                    j.alias("sub_j"),
-                    F.transform(
-                        F.slice("embedding", j * (dim_col / m).cast("int") + 1,
-                                (dim_col / m).cast("int")),
-                        lambda x: F.round(x.cast("double"), 6),
-                    ).alias("sv"),
-                ),
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.sub_j", "s.sv")
-
-    def assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-        sim = F.aggregate(
-            F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        w = W.partitionBy("vec_id", "sub_j").orderBy(F.round(sim, 6), "cell")
-        return (
-            vecs.join(F.broadcast(cent), "sub_j")
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "sub_j", "sv", "cell")
-        )
+    _drain_persisted()
+    sub = _subvectors(e, "vec_id", m)
 
     def reaverage(assigned: DataFrame) -> DataFrame:
         return (
@@ -444,14 +465,17 @@ def pq_train(
             )
         )
 
-    seed = (
-        sub.filter(F.col("vec_id") < k)
-        .select("sub_j", (F.col("vec_id") + 1).cast("int").alias("cell"),
-                F.col("sv").alias("centroid"))
+    # seed from the k LOWEST vec_ids (not `vec_id < k`: ids may be
+    # sparse or offset — kmeans_lloyd's convention)
+    seed_ids = e.select("vec_id").orderBy("vec_id").limit(k).withColumn(
+        "cell", F.row_number().over(W.orderBy("vec_id")).cast("int")
+    )
+    seed = sub.join(seed_ids, "vec_id").select(
+        "sub_j", "cell", F.col("sv").alias("centroid")
     )
     cent = seed.persist()
     for _ in range(n_iter):
-        nxt = reaverage(assign(sub, cent)).persist()
+        nxt = reaverage(_pq_assign(sub, cent)).persist()
         nxt.count()
         cent.unpersist()
         cent = nxt
@@ -462,35 +486,7 @@ def pq_train(
 def pq_encode(e: DataFrame, codebooks: DataFrame, m: int = 8) -> DataFrame:
     """(vec_id, codes array<int>): nearest codebook cell per subspace —
     the compressed representation the candidate scan stores."""
-    dim_col = F.size("embedding")
-    sub = e.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.struct(
-                    j.alias("sub_j"),
-                    F.transform(
-                        F.slice("embedding", j * (dim_col / m).cast("int") + 1,
-                                (dim_col / m).cast("int")),
-                        lambda x: F.round(x.cast("double"), 6),
-                    ).alias("sv"),
-                ),
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.sub_j", "s.sv")
-    dist = F.aggregate(
-        F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = W.partitionBy("vec_id", "sub_j").orderBy(F.round(dist, 6), "cell")
-    best = (
-        sub.join(F.broadcast(codebooks), "sub_j")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "sub_j", "cell")
-    )
+    best = _pq_assign(_subvectors(e, "vec_id", m), codebooks)
     return (
         best.groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("sub_j", "cell"))).alias("sc"))
@@ -514,30 +510,7 @@ def ann_pq_adc(
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim_col = F.size("embedding")
-    qsub = q.select(
-        "query_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.struct(
-                    j.alias("sub_j"),
-                    F.transform(
-                        F.slice("embedding", j * (dim_col / m).cast("int") + 1,
-                                (dim_col / m).cast("int")),
-                        lambda x: F.round(x.cast("double"), 6),
-                    ).alias("sv"),
-                ),
-            )
-        ).alias("s"),
-    ).select("query_id", "s.sub_j", "s.sv")
-    dist = F.aggregate(
-        F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    # per-query LUT: lut[sub_j][cell] = squared subvector distance;
-    # m×k_cells rows per query → folded into one array-of-arrays row
+    qsub = _subvectors(q, "query_id", m)
     # one flat (sub_j, cell)→distance MAP per query (not position-indexed
     # arrays: a Lloyd iteration can empty a cell, and a missing cell must
     # not shift its neighbors' indices)
@@ -546,7 +519,7 @@ def ann_pq_adc(
         .select(
             "query_id",
             (F.col("sub_j") * 100_000 + F.col("cell")).alias("jc"),
-            F.round(dist, 6).alias("d"),
+            F.round(_sq_dist("sv", "centroid"), 6).alias("d"),
         )
         .groupBy("query_id")
         .agg(F.map_from_entries(F.collect_list(F.struct("jc", "d"))).alias("lut"))

@@ -518,6 +518,27 @@ def test_substring_cut_keeps_one_copy(spark):
     assert got[3] == ("nothing duplicated here at all", 0)
 
 
+def test_substring_cut_overlapping_windows_documented_semantics(spark):
+    """The keep-first guarantee is PER WINDOW (docstring contract): when
+    distinct duplicated windows overlap, a spared canonical copy may
+    still lose tokens to an overlapping non-canonical window's span."""
+    from ecc_spark.ops.dedup import substring_cut
+
+    # k=4: window "a b c d" canonical in doc1; window "b c d e"
+    # canonical in doc2 — but doc2 also holds a non-canonical "a b c d"
+    # at pos 0 whose span [0,4) cuts b,c,d out of the spared copy
+    rows = [
+        (1, "w a b c d"),
+        (2, "a b c d e"),
+        (3, "b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cut_text"] for r in substring_cut(df, k=4).collect()}
+    assert got[1] == "w a b c d"   # canonical "a b c d" intact
+    assert got[2] == "e"           # loses [0,4) though "b c d e" was canonical here
+    assert got[3] == "f"           # non-canonical "b c d e" cut
+
+
 def test_dup_spans_crafted_merge(spark):
     """Adjacent and overlapping duplicated windows merge into ONE
     maximal span; isolated duplicates stay separate; unique text yields
@@ -539,6 +560,9 @@ def test_dup_spans_crafted_merge(spark):
     # (span [2,8)) and 10,11,12 (span [10,16)); doc 2: windows 1,2,3 →
     # span [1,7); doc 3: nothing
     assert got == {(1, 2, 8), (1, 10, 16), (2, 1, 7)}
+
+
+def test_connected_components_crafted_graph(spark):
     """Chain (log-round pointer jumping must close it), triangle,
     singleton, and a two-edge star — component = min reachable id."""
     from ecc_spark.ops.dedup import connected_components
