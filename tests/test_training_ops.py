@@ -683,6 +683,8 @@ def test_decode_features_uses_real_codecs(spark):
     from ecc_spark.ops.multimodal import encode_bmp, encode_wav
     from ecc_spark.schemas import MEDIA
 
+    from ecc_spark.ops.codecs import encode_jpeg, encode_png
+
     rng = np.random.default_rng(7)
     rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
     luma = (299 * rgb[..., 0].astype(int) + 587 * rgb[..., 1].astype(int)
@@ -694,6 +696,11 @@ def test_decode_features_uses_real_codecs(spark):
              "width": 12, "height": 10, "duration_ms": None},
             {"media_ref": "b.wav", "kind": "audio", "payload": encode_wav(wav),
              "width": None, "height": None, "duration_ms": 8},
+            {"media_ref": "c.png", "kind": "image", "payload": encode_png(rgb, filter_type=4),
+             "width": 12, "height": 10, "duration_ms": None},
+            {"media_ref": "d.jpg", "kind": "image",
+             "payload": encode_jpeg(rgb, quality=100),
+             "width": 12, "height": 10, "duration_ms": None},
         ],
         schema=MEDIA,
     )
@@ -701,3 +708,8 @@ def test_decode_features_uses_real_codecs(spark):
     assert feats["a.bmp"]["mean"] == float(luma.mean())
     want_wav = (wav.astype(np.int32) // 256 + 128).astype(np.uint8)
     assert feats["b.wav"]["mean"] == float(want_wav.mean())
+    # PNG is lossless: feature-stage luma mean is EXACT (the fake codec
+    # could not hit this — it never sees the deflate stream)
+    assert feats["c.png"]["mean"] == float(luma.mean())
+    # JPEG at quantizer 1 is near-lossless: mean within 2 counts
+    assert abs(feats["d.jpg"]["mean"] - float(luma.mean())) < 2.0
