@@ -744,3 +744,205 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO 14496-12) container: mux + probe/demux.
+# Frame DECODE (H.264) genuinely needs av — absent from this image —
+# so the codec layer stops at the container: real box walk, real
+# per-sample byte extraction, fake pixel synthesis downstream.
+# ---------------------------------------------------------------------
+
+
+def _box(typ: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(data)) + typ + data
+
+
+def _full_box(typ: bytes, version: int, flags: int, data: bytes) -> bytes:
+    return _box(typ, struct.pack(">B", version) + flags.to_bytes(3, "big") + data)
+
+
+def encode_mp4(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    sample_duration_ms: int = 40,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + mdat + moov (mvhd / trak / stbl
+    with stts, stsc, stsz, stco). One video track, one chunk holding
+    every sample contiguously in mdat. The stco offset is absolute, so
+    mdat precedes moov (progressive layout) and the offset is computable
+    before moov exists."""
+    if not samples:
+        raise ValueError("an MP4 needs at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    data_offset = len(ftyp) + 8  # first sample byte inside mdat
+    n = len(samples)
+    duration = n * sample_duration_ms * timescale // 1000
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        7,  # enabled | in-movie | in-preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"ecc\x00"
+    )
+    stsd = _full_box(
+        b"stsd",
+        0,
+        0,
+        struct.pack(">I", 1)
+        + _box(b"fake", b"\x00" * 6 + struct.pack(">H", 1)),  # opaque sample entry
+    )
+    stts = _full_box(
+        b"stts",
+        0,
+        0,
+        struct.pack(">I", 1)
+        + struct.pack(">II", n, sample_duration_ms * timescale // 1000),
+    )
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(">III", 1, n, 1))
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">I", 1) + struct.pack(">I", data_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(payload: bytes, start: int, end: int, found: dict) -> None:
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", payload[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"malformed box {typ!r} at {i}")
+        if typ in _MP4_CONTAINERS:
+            _walk_boxes(payload, body, i + size, found)
+        else:
+            found.setdefault(typ, payload[body : i + size])
+        i += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO BMFF bytes -> container metadata + demuxed per-sample spans:
+    {timescale, duration_ms, width, height, sample_sizes, sample_offsets,
+    sample_ts_ms}. Handles mvhd/tkhd version 0 and 1, 64-bit largesize
+    boxes, multi-entry stts/stco; raises on anything that is not a
+    parseable BMFF stream."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (missing ftyp)")
+    found: dict[bytes, bytes] = {}
+    _walk_boxes(payload, 0, len(payload), found)
+    if b"mvhd" not in found or b"stsz" not in found or b"stco" not in found:
+        raise ValueError("missing mvhd/stsz/stco")
+    mvhd = found[b"mvhd"]
+    ver = mvhd[0]
+    if ver == 1:
+        timescale = struct.unpack(">I", mvhd[20:24])[0]
+        duration = struct.unpack(">Q", mvhd[24:32])[0]
+    else:
+        timescale, duration = struct.unpack(">II", mvhd[12:20])
+    width = height = None
+    if b"tkhd" in found:
+        tkhd = found[b"tkhd"]
+        off = 88 if tkhd[0] == 1 else 76  # width's offset incl. ver/flags
+        w_fix, h_fix = struct.unpack(">II", tkhd[off : off + 8])
+        width, height = w_fix >> 16, h_fix >> 16
+    stsz = found[b"stsz"]
+    fixed, count = struct.unpack(">II", stsz[4:12])
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack(f">{count}I", stsz[12 : 12 + 4 * count]))
+    stco = found[b"stco"]
+    (n_chunks,) = struct.unpack(">I", stco[4:8])
+    chunk_offsets = list(struct.unpack(f">{n_chunks}I", stco[8 : 8 + 4 * n_chunks]))
+    # samples-per-chunk from stsc (default: everything in chunk 1)
+    per_chunk = count
+    if b"stsc" in found:
+        stsc = found[b"stsc"]
+        (n_ent,) = struct.unpack(">I", stsc[4:8])
+        if n_ent:
+            per_chunk = struct.unpack(">III", stsc[8:20])[1]
+    offsets: list[int] = []
+    si = 0
+    for co in chunk_offsets:
+        pos = co
+        for _ in range(min(per_chunk, count - si)):
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    # per-sample timestamps from stts runs
+    ts: list[int] = []
+    if b"stts" in found:
+        stts = found[b"stts"]
+        (n_runs,) = struct.unpack(">I", stts[4:8])
+        t = 0
+        for r in range(n_runs):
+            cnt, delta = struct.unpack(">II", stts[8 + 8 * r : 16 + 8 * r])
+            for _ in range(cnt):
+                ts.append(t * 1000 // timescale if timescale else 0)
+                t += delta
+    return {
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale if timescale else 0,
+        "width": width,
+        "height": height,
+        "sample_sizes": sizes,
+        "sample_offsets": offsets,
+        "sample_ts_ms": ts[:count],
+    }
+
+
+def demux_mp4(payload: bytes) -> list[bytes]:
+    """Extract the raw per-sample byte spans (the real demux step; frame
+    DECODE of those spans is the env-blocked part)."""
+    meta = probe_mp4(payload)
+    return [
+        payload[o : o + s]
+        for o, s in zip(meta["sample_offsets"], meta["sample_sizes"])
+    ]

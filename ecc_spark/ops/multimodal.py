@@ -37,7 +37,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecc_spark.ops.codecs import decode_jpeg, decode_png, encode_jpeg, encode_png
+from ecc_spark.ops.codecs import (
+    decode_jpeg,
+    decode_png,
+    demux_mp4,
+    encode_jpeg,
+    encode_mp4,
+    encode_png,
+    probe_mp4,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -80,10 +88,18 @@ def synth_media(spark: SparkSession, n: int = 200, seed: int = 13) -> DataFrame:
             else:
                 ref, kind = f"Image_{i % 30}.jpg", "image"
                 payload = encode_jpeg(px, quality=90, subsample=bool((h >> 17) & 1))
-        else:  # compressed video — env-blocked, fake decode
+        else:  # video — REAL ISO BMFF container, opaque sample bytes
             ref, kind = f"Clip_{i % 20}.mp4", "video"
-            duration_ms = 1000 + h % 9000
-            payload = (h.to_bytes(4, "little") * (64 + h % 64))[: 256 + h % 256]
+            width, height = 16 + h % 48, 16 + (h >> 8) % 48
+            n_samples = 20 + h % 60
+            frame_ms = 40 + (h >> 4) % 40
+            duration_ms = n_samples * frame_ms
+            payload = encode_mp4(
+                [bytes(rng.integers(0, 256, 40 + h % 80, dtype=np.uint8)) for _ in range(n_samples)],
+                width,
+                height,
+                sample_duration_ms=frame_ms,
+            )
         rows.append(
             {
                 "media_ref": f"{i}/{ref}",
@@ -274,15 +290,29 @@ def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | 
             return _to_plane(decode_png(payload))
         if payload[:2] == b"\xff\xd8":
             return _to_plane(decode_jpeg(payload))
+        if payload[4:8] == b"ftyp":
+            # REAL demux, fake frame codec: pull the first sample's
+            # actual bytes out of the container and synthesize pixels at
+            # the track's REAL tkhd dimensions (H.264 decode needs av,
+            # absent — see _REAL_CODECS)
+            meta = probe_mp4(payload)
+            first = demux_mp4(payload)[0]
+            if _REAL_CODECS:
+                # the frame-decode path is NOT implemented — this raise
+                # marks the call site to fill in (av / h264 decode of
+                # `first`) when the flag is flipped after installing av
+                raise NotImplementedError("wire av frame decode here before setting _REAL_CODECS")
+            fw = meta["width"] or 16
+            fh = meta["height"] or 16
+            raw = np.frombuffer(first, dtype=np.uint8)
+            reps = (fw * fh + len(raw) - 1) // len(raw)
+            return np.tile(raw, reps)[: fw * fh].reshape(fh, fw)
+    except NotImplementedError:
+        raise  # the _REAL_CODECS call-site marker must stay loud
     except Exception:  # noqa: BLE001 — any malformed-garbage failure
         # routes to the fake; a regression in the REAL decoders cannot
         # hide here because the byte-exact fixture tests compare pixels
         pass
-    if _REAL_CODECS and payload[4:8] == b"ftyp":
-        # the video decode path is NOT implemented — this raise marks
-        # the call site to fill in (av.open) when the flag is flipped
-        # after installing the library
-        raise NotImplementedError("wire av frame decode here before setting _REAL_CODECS")
     # fake path for formats the environment cannot decode
     # (nullable int columns arrive through Arrow→pandas as NaN floats)
     w = 16 if width is None or width != width else int(width)
@@ -327,13 +357,61 @@ def decode_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Video frame sampling plumbing: one row per sampled timestamp.
-    Frame decode itself is the fake codec; the explode shape is real."""
+    """Video frame sampling plumbing: one row per sampled timestamp from
+    the duration METADATA column — pure JVM explode, zero Python, the
+    cheap path when the catalog already carries durations.
+    video_sample_index is the container-truth variant (real stts
+    timestamps demuxed from the payload bytes)."""
     vids = media.filter(F.col("kind") == "video")
     stamps = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
     return vids.select(
         "media_ref", F.explode(stamps).alias("ts_ms"), F.length("payload").alias("n_bytes")
     )
+
+
+def video_sample_index(media: DataFrame) -> DataFrame:
+    """One row per REAL container sample: (media_ref, sample_i, ts_ms,
+    n_bytes, width, height) demuxed from the ISO BMFF boxes (stts
+    timestamps, stsz sizes, tkhd dims) by ecc_spark.ops.codecs.probe_mp4.
+    mapInPandas over hash-salted partitions — same fat-binary-row
+    discipline as decode_features; unparseable payloads yield no rows
+    rather than failing the stage."""
+    out_schema = (
+        "media_ref string, sample_i int, ts_ms long, n_bytes int, "
+        "width int, height int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    meta = probe_mp4(bytes(r.payload))
+                except Exception:  # noqa: BLE001 — not a BMFF payload
+                    continue
+                for si, (ts, sz) in enumerate(
+                    zip(meta["sample_ts_ms"], meta["sample_sizes"])
+                ):
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "sample_i": si,
+                            "ts_ms": ts,
+                            "n_bytes": sz,
+                            "width": meta["width"],
+                            "height": meta["height"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "sample_i", "ts_ms", "n_bytes", "width", "height",
+                ],
+            )
+
+    vids = media.filter(F.col("kind") == "video")
+    salted = vids.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(32)))
+    return salted.mapInPandas(batches, schema=out_schema)
 
 
 def _sf_number(sf: str) -> float:

@@ -201,3 +201,80 @@ def test_jpeg_byte_stuffing_exercised():
     assert b"\xff\x00" in payload
     got = decode_jpeg(payload)
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+
+
+# ------------------------------ MP4 ----------------------------------
+
+
+def test_mp4_mux_probe_demux_roundtrip():
+    from ecc_spark.ops.codecs import demux_mp4, encode_mp4, probe_mp4
+
+    samples = [bytes([i]) * (10 + 7 * i) for i in range(5)]
+    payload = encode_mp4(samples, width=64, height=48, sample_duration_ms=40)
+    meta = probe_mp4(payload)
+    assert (meta["width"], meta["height"]) == (64, 48)
+    assert meta["duration_ms"] == 5 * 40
+    assert meta["sample_sizes"] == [len(s) for s in samples]
+    assert meta["sample_ts_ms"] == [0, 40, 80, 120, 160]
+    assert demux_mp4(payload) == samples
+
+
+def test_mp4_largesize_and_v1_mvhd():
+    """The probe must honor 64-bit largesize boxes and version-1 mvhd —
+    shapes real >4 GiB files use. Built by surgically rewriting the
+    muxer's v0 output so the probe faces bytes the muxer never emits."""
+    import struct
+
+    from ecc_spark.ops.codecs import encode_mp4, probe_mp4
+
+    payload = encode_mp4([b"xyz"], width=8, height=8, sample_duration_ms=100)
+    # rewrite the ftyp box header to size=1 + 64-bit largesize
+    (sz,) = struct.unpack(">I", payload[0:4])
+    rewritten = (
+        struct.pack(">I", 1)
+        + payload[4:8]
+        + struct.pack(">Q", sz + 8)
+        + payload[8 : sz]
+        + payload[sz:]
+    )
+    # stco offsets shift by the 8 inserted bytes: find and patch it
+    i = rewritten.find(b"stco")
+    (old_off,) = struct.unpack(">I", rewritten[i + 12 : i + 16])
+    rewritten = (
+        rewritten[: i + 12] + struct.pack(">I", old_off + 8) + rewritten[i + 16 :]
+    )
+    meta = probe_mp4(rewritten)
+    assert meta["sample_sizes"] == [3]
+    assert rewritten[meta["sample_offsets"][0] :][:3] == b"xyz"
+    # version-1 mvhd: 64-bit duration at a different layout
+    j = payload.find(b"mvhd")
+    body = payload[j + 4 :]
+    v1 = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQIQ", 0, 0, 1000, 4500)  # created, modified, timescale, duration
+        + body[4 + 16 :]  # keep rate/volume/matrix tail (layout past duration)
+    )
+    v1box = struct.pack(">I", 8 + len(v1)) + b"mvhd" + v1
+    k = j - 4  # start of the original mvhd box header
+    (old_sz,) = struct.unpack(">I", payload[k : k + 4])
+    patched = payload[:k] + v1box + payload[k + old_sz :]
+    # moov size grew: patch its header too
+    m = patched.find(b"moov") - 4
+    (moov_sz,) = struct.unpack(">I", patched[m : m + 4])
+    patched = (
+        patched[:m]
+        + struct.pack(">I", moov_sz + len(v1box) - old_sz)
+        + patched[m + 4 :]
+    )
+    meta = probe_mp4(patched)
+    assert meta["timescale"] == 1000
+    assert meta["duration_ms"] == 4500
+
+
+def test_mp4_rejects_garbage():
+    from ecc_spark.ops.codecs import probe_mp4
+
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x01\x02\x03nope" * 10)
+    with pytest.raises(ValueError):
+        probe_mp4(struct.pack(">I", 16) + b"ftypisom\x00\x00\x00\x00")  # no moov
