@@ -352,14 +352,28 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+    def emit_rst(self, n: int) -> None:
+        """Byte-align and write RSTn — marker bytes are written raw
+        (markers are the one 0xFF that must NOT be stuffed)."""
+        self.align()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
 class _BitReader:
-    """Entropy-coded segment reader: un-stuffs 0xFF00, stops at markers."""
+    """Entropy-coded segment reader: un-stuffs 0xFF00. Restart markers
+    are NOT consumed implicitly — the MCU loop calls restart() at the
+    interval boundary (T.81 E.2.4: the interval is declared by DRI, not
+    discoverable from the bitstream, so hitting a marker mid-code is an
+    error, not a resync point)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -373,18 +387,24 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RST marker: resync
-                self.pos += 2
-                self.acc = 0
-                self.nbits = 0
-                b = None
             else:
                 raise ValueError("hit marker inside entropy data")
         else:
             self.pos += 1
-        if b is not None:
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def restart(self) -> None:
+        """Cross an expected RSTn boundary: discard the pad bits to the
+        byte edge, consume the marker. pos already sits past every byte
+        whose bits entered acc, so dropping acc IS the byte alignment."""
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker at interval boundary")
+        self.pos += 2
 
     def bit(self) -> int:
         while self.nbits == 0:
@@ -536,14 +556,22 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB -> baseline JFIF JPEG bytes.
 
     4:4:4 by default; ``subsample=True`` emits 4:2:0 (Y at full
     resolution, Cb/Cr box-averaged 2x2) — the shape real web JPEGs
     overwhelmingly use, so the decoder's fractional-sampling path has an
-    in-repo producer. Standard Annex K Huffman/quant tables, IJG quality
-    scaling, single interleaved scan, no restart markers.
+    in-repo producer. ``restart_interval=R`` emits DRI + an RSTn every R
+    MCUs (DC predictors reset, stream byte-aligned) — camera JPEGs
+    carry these, so the decoder's restart path needs an in-repo
+    producer too. Standard Annex K Huffman/quant tables, IJG quality
+    scaling, single interleaved scan.
     """
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
@@ -570,6 +598,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
     for tc, (bits, values) in tables:
         body = bytes([tc]) + bytes(bits[1:]) + bytes(values)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     sos = bytes([ncomp, 1, 0x00])
     if not gray:
@@ -582,11 +612,23 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
     dc_c = _huff_codes(*_STD_DC_CHR)
     ac_c = _huff_codes(*_STD_AC_CHR)
     bw = _BitWriter()
+    mcu_i = 0
+
+    def end_mcu(total: int, preds: list) -> None:
+        """After each MCU: at an interval boundary (and not at the very
+        end) byte-align, emit RSTn (n cycles mod 8), reset DC preds."""
+        nonlocal mcu_i
+        mcu_i += 1
+        if restart_interval and mcu_i % restart_interval == 0 and mcu_i < total:
+            bw.emit_rst((mcu_i // restart_interval - 1) % 8)
+            preds[:] = [0] * len(preds)
+
     if gray:
         yb = _encode_plane(_blocks(_pad_to(px.astype(np.float64), 8)), qt_l)
-        pred = 0
+        gpred = [0]
         for b in yb:
-            pred = _entropy_encode_block(bw, b, pred, dc_l, ac_l)
+            gpred[0] = _entropy_encode_block(bw, b, gpred[0], dc_l, ac_l)
+            end_mcu(len(yb), gpred)
     else:
         ycc = _rgb_to_ycbcr(px)
         if subsample:
@@ -616,6 +658,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
                     cidx = by * cw + bx
                     preds[1] = _entropy_encode_block(bw, czz[0][cidx], preds[1], dc_c, ac_c)
                     preds[2] = _entropy_encode_block(bw, czz[1][cidx], preds[2], dc_c, ac_c)
+                    end_mcu(hb * wb, preds)
         else:
             planes = [_pad_to(ycc[..., k], 8) for k in range(3)]
             zzs = [
@@ -633,6 +676,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
                         dc_l if k == 0 else dc_c,
                         ac_l if k == 0 else ac_c,
                     )
+                end_mcu(nblocks, preds)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -652,6 +696,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_lk: dict[int, dict] = {}
     ac_lk: dict[int, dict] = {}
     sof = None
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, qt)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
     n = len(payload)
@@ -690,8 +735,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             sof = (hh, ww)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = seg[0]
+            if ns != len(comps):
+                # a scan over a component subset is LEGAL baseline
+                # (non-interleaved), but this decoder only implements the
+                # single interleaved scan — refuse loudly rather than
+                # return planes that were never decoded
+                raise ValueError(
+                    "non-interleaved / multi-scan baseline not supported"
+                )
             for k in range(ns):
                 cs, tables = seg[1 + 2 * k], seg[2 + 2 * k]
                 ci = next(idx for idx, c in enumerate(comps) if c[0] == cs)
@@ -718,8 +773,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ]
     br = _BitReader(payload, i)
     preds = [0] * len(comps)
+    mcu_i = 0
     for my in range(mrows):
         for mx in range(mcols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()  # T.81 E.2.4: byte-align + consume RSTn
+                preds = [0] * len(comps)
+            mcu_i += 1
             for sidx, (ci, dct, act) in enumerate(scan):
                 _cid, hs, vs, _tq = comps[ci]
                 for dy in range(vs):
@@ -768,14 +828,22 @@ def encode_mp4(
     height: int,
     sample_duration_ms: int = 40,
     timescale: int = 1000,
+    chunks: list[int] | None = None,
 ) -> bytes:
     """Minimal valid ISO BMFF: ftyp + mdat + moov (mvhd / trak / stbl
-    with stts, stsc, stsz, stco). One video track, one chunk holding
-    every sample contiguously in mdat. The stco offset is absolute, so
-    mdat precedes moov (progressive layout) and the offset is computable
-    before moov exists."""
+    with stts, stsc, stsz, stco). One video track; samples are laid out
+    contiguously in mdat. ``chunks`` is the samples-per-chunk split
+    (default: one chunk holding everything) — a multi-chunk layout emits
+    a multi-entry stsc + per-chunk stco, the shape real muxers produce,
+    so the probe's full chunk-map walk has an in-repo producer. The stco
+    offsets are absolute, so mdat precedes moov (progressive layout) and
+    they are computable before moov exists."""
     if not samples:
         raise ValueError("an MP4 needs at least one sample")
+    if chunks is None:
+        chunks = [len(samples)]
+    if sum(chunks) != len(samples) or any(c <= 0 for c in chunks):
+        raise ValueError("chunks must be positive and sum to len(samples)")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat = _box(b"mdat", b"".join(samples))
     data_offset = len(ftyp) + 8  # first sample byte inside mdat
@@ -826,14 +894,37 @@ def encode_mp4(
         struct.pack(">I", 1)
         + struct.pack(">II", n, sample_duration_ms * timescale // 1000),
     )
-    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(">III", 1, n, 1))
+    # run-length-encode samples-per-chunk into stsc entries; per-chunk
+    # byte offsets into stco
+    stsc_entries: list[tuple[int, int]] = []
+    chunk_offs: list[int] = []
+    pos, si = data_offset, 0
+    for ci, spc in enumerate(chunks, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((ci, spc))
+        chunk_offs.append(pos)
+        pos += sum(len(x) for x in samples[si : si + spc])
+        si += spc
+    stsc = _full_box(
+        b"stsc",
+        0,
+        0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in stsc_entries),
+    )
     stsz = _full_box(
         b"stsz",
         0,
         0,
         struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
     )
-    stco = _full_box(b"stco", 0, 0, struct.pack(">I", 1) + struct.pack(">I", data_offset))
+    stco = _full_box(
+        b"stco",
+        0,
+        0,
+        struct.pack(">I", len(chunk_offs))
+        + b"".join(struct.pack(">I", o) for o in chunk_offs),
+    )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
@@ -844,10 +935,9 @@ def encode_mp4(
     return ftyp + mdat + moov
 
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
-
-
-def _walk_boxes(payload: bytes, start: int, end: int, found: dict) -> None:
+def _iter_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each box in [start, end):
+    handles 64-bit largesize and size-0 (to-end-of-file) boxes."""
     i = start
     while i + 8 <= end:
         (size,) = struct.unpack(">I", payload[i : i + 4])
@@ -860,26 +950,60 @@ def _walk_boxes(payload: bytes, start: int, end: int, found: dict) -> None:
             size = end - i
         if size < 8 or i + size > end:
             raise ValueError(f"malformed box {typ!r} at {i}")
-        if typ in _MP4_CONTAINERS:
-            _walk_boxes(payload, body, i + size, found)
-        else:
-            found.setdefault(typ, payload[body : i + size])
+        yield typ, body, i + size
         i += size
+
+
+def _trak_leaves(payload: bytes, start: int, end: int) -> dict:
+    """Leaf boxes of ONE trak subtree (tkhd, hdlr, stts, stsc, stsz,
+    stco, ...). Bodies are tiny metadata tables — copying them is cheap;
+    mdat never appears inside a trak so no media bytes are copied."""
+    out: dict[bytes, bytes] = {}
+
+    def walk(s: int, e: int) -> None:
+        for typ, body, bend in _iter_boxes(payload, s, e):
+            if typ in (b"mdia", b"minf", b"stbl"):
+                walk(body, bend)
+            else:
+                out.setdefault(typ, payload[body:bend])
+
+    walk(start, end)
+    return out
 
 
 def probe_mp4(payload: bytes) -> dict:
     """ISO BMFF bytes -> container metadata + demuxed per-sample spans:
     {timescale, duration_ms, width, height, sample_sizes, sample_offsets,
-    sample_ts_ms}. Handles mvhd/tkhd version 0 and 1, 64-bit largesize
-    boxes, multi-entry stts/stco; raises on anything that is not a
-    parseable BMFF stream."""
+    sample_ts_ms}. Walks only metadata boxes (mdat bytes are never
+    copied); selects the VIDEO trak by hdlr handler type in multi-track
+    files (first trak if none says 'vide'); handles mvhd/tkhd version 0
+    and 1, 64-bit largesize boxes, multi-entry stts/stsc/stco; raises on
+    anything that is not a parseable BMFF stream."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF payload (missing ftyp)")
-    found: dict[bytes, bytes] = {}
-    _walk_boxes(payload, 0, len(payload), found)
-    if b"mvhd" not in found or b"stsz" not in found or b"stco" not in found:
-        raise ValueError("missing mvhd/stsz/stco")
-    mvhd = found[b"mvhd"]
+    moov = None
+    for typ, body, bend in _iter_boxes(payload, 0, len(payload)):
+        if typ == b"moov":
+            moov = (body, bend)
+    if moov is None:
+        raise ValueError("missing moov")
+    mvhd = None
+    traks: list[tuple[int, int]] = []
+    for typ, body, bend in _iter_boxes(payload, *moov):
+        if typ == b"mvhd":
+            mvhd = payload[body:bend]
+        elif typ == b"trak":
+            traks.append((body, bend))
+    if mvhd is None or not traks:
+        raise ValueError("missing mvhd/trak")
+    parsed = [_trak_leaves(payload, s, e) for s, e in traks]
+    # handler type lives at hdlr body bytes [8:12] (after ver/flags +
+    # pre_defined); a muxed file commonly puts the audio trak first
+    vide = next(
+        (t for t in parsed if t.get(b"hdlr", b"")[8:12] == b"vide"), parsed[0]
+    )
+    if b"stsz" not in vide or b"stco" not in vide:
+        raise ValueError("missing stsz/stco in selected trak")
     ver = mvhd[0]
     if ver == 1:
         timescale = struct.unpack(">I", mvhd[20:24])[0]
@@ -887,39 +1011,48 @@ def probe_mp4(payload: bytes) -> dict:
     else:
         timescale, duration = struct.unpack(">II", mvhd[12:20])
     width = height = None
-    if b"tkhd" in found:
-        tkhd = found[b"tkhd"]
+    if b"tkhd" in vide:
+        tkhd = vide[b"tkhd"]
         off = 88 if tkhd[0] == 1 else 76  # width's offset incl. ver/flags
         w_fix, h_fix = struct.unpack(">II", tkhd[off : off + 8])
         width, height = w_fix >> 16, h_fix >> 16
-    stsz = found[b"stsz"]
+    stsz = vide[b"stsz"]
     fixed, count = struct.unpack(">II", stsz[4:12])
     if fixed:
         sizes = [fixed] * count
     else:
         sizes = list(struct.unpack(f">{count}I", stsz[12 : 12 + 4 * count]))
-    stco = found[b"stco"]
+    stco = vide[b"stco"]
     (n_chunks,) = struct.unpack(">I", stco[4:8])
     chunk_offsets = list(struct.unpack(f">{n_chunks}I", stco[8 : 8 + 4 * n_chunks]))
-    # samples-per-chunk from stsc (default: everything in chunk 1)
-    per_chunk = count
-    if b"stsc" in found:
-        stsc = found[b"stsc"]
+    # full stsc semantics: entry (first_chunk, samples_per_chunk, _) runs
+    # from its first_chunk until the next entry's (ISO 14496-12 8.7.4)
+    entries: list[tuple[int, int]] = [(1, count)]
+    if b"stsc" in vide:
+        stsc = vide[b"stsc"]
         (n_ent,) = struct.unpack(">I", stsc[4:8])
         if n_ent:
-            per_chunk = struct.unpack(">III", stsc[8:20])[1]
+            entries = [
+                struct.unpack(">III", stsc[8 + 12 * r : 20 + 12 * r])[:2]
+                for r in range(n_ent)
+            ]
     offsets: list[int] = []
     si = 0
-    for co in chunk_offsets:
+    ei = 0
+    for ci, co in enumerate(chunk_offsets, start=1):
+        while ei + 1 < len(entries) and entries[ei + 1][0] <= ci:
+            ei += 1
         pos = co
-        for _ in range(min(per_chunk, count - si)):
+        for _ in range(min(entries[ei][1], count - si)):
             offsets.append(pos)
             pos += sizes[si]
             si += 1
+    if si != count:
+        raise ValueError("stsc/stco chunk map does not cover every sample")
     # per-sample timestamps from stts runs
     ts: list[int] = []
-    if b"stts" in found:
-        stts = found[b"stts"]
+    if b"stts" in vide:
+        stts = vide[b"stts"]
         (n_runs,) = struct.unpack(">I", stts[4:8])
         t = 0
         for r in range(n_runs):

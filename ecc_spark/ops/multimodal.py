@@ -38,9 +38,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecc_spark.ops.codecs import (
+    PNG_MAGIC as _PNG_MAGIC,
     decode_jpeg,
     decode_png,
-    demux_mp4,
     encode_jpeg,
     encode_mp4,
     encode_png,
@@ -256,9 +256,6 @@ def encode_wav(samples: np.ndarray) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-
-
 def _to_plane(px: np.ndarray) -> np.ndarray:
     """Decoded pixel array (gray / gray+alpha / RGB / RGBA) → (h, w)
     uint8 luma plane, the modality-agnostic feature-stage contract."""
@@ -296,7 +293,12 @@ def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | 
             # the track's REAL tkhd dimensions (H.264 decode needs av,
             # absent — see _REAL_CODECS)
             meta = probe_mp4(payload)
-            first = demux_mp4(payload)[0]
+            # slice the first sample straight from the meta in hand —
+            # demux_mp4 would re-walk the boxes and copy every sample
+            first = payload[
+                meta["sample_offsets"][0] : meta["sample_offsets"][0]
+                + meta["sample_sizes"][0]
+            ]
             if _REAL_CODECS:
                 # the frame-decode path is NOT implemented — this raise
                 # marks the call site to fill in (av / h264 decode of

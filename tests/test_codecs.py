@@ -278,3 +278,105 @@ def test_mp4_rejects_garbage():
         probe_mp4(b"\x00\x01\x02\x03nope" * 10)
     with pytest.raises(ValueError):
         probe_mp4(struct.pack(">I", 16) + b"ftypisom\x00\x00\x00\x00")  # no moov
+
+
+# ------------------- review-finding regressions ----------------------
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_restart_markers_roundtrip(subsample):
+    """DRI/RSTn (review finding #1): DC predictors reset and the stream
+    re-aligns at every interval. The payload must really contain RST
+    markers (non-vacuous), and a restartful stream must decode as
+    tightly as a restartless one — the old decoder produced max-error
+    ~229 garbage here. (Flat chroma under 4:2:0: subsampling loss must
+    not mask a restart bug behind an inherently loose bound.)"""
+    if subsample:
+        px = np.repeat(_rng(11).integers(0, 256, (24, 40), dtype=np.uint8)[..., None], 3, -1)
+    else:
+        px = _rng(11).integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    payload = encode_jpeg(px, quality=100, subsample=subsample, restart_interval=2)
+    assert any(
+        bytes([0xFF, 0xD0 + k]) in payload for k in range(8)
+    ), "no RST marker emitted"
+    got = decode_jpeg(payload)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_restart_gray_and_counter_wrap():
+    """Gray MCUs are single blocks, so a small interval crosses many
+    boundaries and the RSTn counter must wrap mod 8 (>8 intervals)."""
+    px = _rng(12).integers(0, 256, (24, 32), dtype=np.uint8)  # 12 MCUs
+    payload = encode_jpeg(px, quality=100, restart_interval=1)  # 11 RSTs
+    assert bytes([0xFF, 0xD0]) in payload and bytes([0xFF, 0xD8 - 1 + 1]) in payload
+    got = decode_jpeg(payload)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_non_interleaved_multi_scan():
+    """Review finding #4: a scan over a component subset must refuse
+    loudly instead of silently discarding chroma."""
+    px = _rng(13).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(px, quality=100))
+    i = payload.find(b"\xff\xda")
+    # rewrite the SOS header from 3 components to 1 (Y only)
+    new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    old_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+    patched = bytes(payload[:i]) + new_sos + bytes(payload[i + 2 + old_len :])
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(patched)
+
+
+def test_mp4_multi_entry_stsc_chunk_map():
+    """Review finding #2: full stsc semantics — an entry runs from its
+    first_chunk until the next entry's. chunks=[1, 2, 2] produces two
+    stsc entries ((1,1),(2,2)) and three stco offsets; every sample must
+    demux to its exact bytes."""
+    from ecc_spark.ops.codecs import demux_mp4, encode_mp4, probe_mp4
+
+    samples = [bytes([i]) * (5 + i) for i in range(5)]
+    payload = encode_mp4(samples, 8, 8, chunks=[1, 2, 2])
+    meta = probe_mp4(payload)
+    assert meta["sample_sizes"] == [len(s) for s in samples]
+    assert len(meta["sample_offsets"]) == 5
+    assert demux_mp4(payload) == samples
+    # and a ragged split that exercises the run-length stsc encoding
+    payload2 = encode_mp4(samples, 8, 8, chunks=[2, 1, 1, 1])
+    assert demux_mp4(payload2) == samples
+    # the multi-entry layout must actually be present, not normalized away
+    i = payload.find(b"stsc")
+    (n_ent,) = struct.unpack(">I", payload[i + 8 : i + 12])
+    assert n_ent == 2
+
+
+def test_mp4_multi_track_selects_video_trak():
+    """Review finding #3: with an audio trak FIRST (the common muxed
+    layout), the probe must still describe the video track. Built by
+    cloning the video trak into a fake audio trak (hdlr 'soun', bogus
+    stsz) and prepending it inside moov."""
+    from ecc_spark.ops.codecs import encode_mp4, probe_mp4
+
+    samples = [b"video-sample-one", b"video-two"]
+    payload = encode_mp4(samples, 32, 24, sample_duration_ms=50)
+    i_moov = payload.find(b"moov") - 4
+    i_trak = payload.find(b"trak", i_moov) - 4
+    (trak_sz,) = struct.unpack(">I", payload[i_trak : i_trak + 4])
+    trak = bytearray(payload[i_trak : i_trak + trak_sz])
+    # clone → audio: hdlr 'vide' → 'soun', stsz sizes → bogus
+    j = trak.find(b"hdlr")
+    assert trak[j + 12 : j + 16] == b"vide"
+    trak[j + 12 : j + 16] = b"soun"
+    k = trak.find(b"stsz")
+    trak[k + 16 : k + 20] = struct.pack(">I", 2)  # fixed-size 2 "audio" samples
+    audio = bytes(trak)
+    (moov_sz,) = struct.unpack(">I", payload[i_moov : i_moov + 4])
+    patched = (
+        payload[:i_moov]
+        + struct.pack(">I", moov_sz + len(audio))
+        + payload[i_moov + 4 : i_trak]
+        + audio
+        + payload[i_trak:]
+    )
+    meta = probe_mp4(patched)
+    assert (meta["width"], meta["height"]) == (32, 24)
+    assert meta["sample_sizes"] == [len(s) for s in samples]
