@@ -478,6 +478,102 @@ FROM (
 """
 
 
+# -- Bigram-LM perplexity (CCNet-style quality filtering) --------------
+
+
+def bigram_lm_scores(docs: DataFrame, k: float = 0.5) -> DataFrame:
+    """Score every document by the cross-entropy of its own-corpus
+    bigram language model — CCNet's perplexity filter (Wenzek et al.
+    2020) with the LM trained on the corpus itself instead of an
+    external KenLM (no model files exist in this image; the filtering
+    semantics — flag documents whose token transitions are improbable
+    under the corpus distribution — are the same).
+
+    Model: P(w2 | w1) = (C(w1 w2) + k) / (C(w1) + k·V), add-k smoothing,
+    V = corpus vocabulary size; xent = -mean log2 P over the doc's
+    bigrams; ppl = 2^xent. Output: (doc_id, n_bigrams, xent, ppl).
+
+    Scale shape (100 TB lens):
+    - tokenize + bigram explode: one narrow pass, no UDF (split +
+      arrays_zip of two slices).
+    - LM tables: two hash-aggs with map-side combine — the shuffle
+      carries (w1[, w2], partial_count), never text. C(w1) joins onto
+      the bigram table agg-to-agg (both already reduced), NOT onto the
+      per-occurrence stream, so the hot-unigram skew ("the", "of")
+      lands on a table bounded by distinct-bigram count.
+    - V reduces to ONE row, broadcast back over the scoring join (same
+      pattern as bm25_topk's corpus stats).
+    - scoring: per-doc DISTINCT bigram counts join the LM on (w1, w2) —
+      hot bigrams are spread by the second key; residual skew is AQE
+      skew-join territory, same story as skewed_join_agg.
+    """
+    from ecc_spark.ops.dedup import _PERSISTED, _drain_persisted
+    from pyspark import StorageLevel
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    # four consumers (uni, lm, vocab via toks, doc_big) would otherwise
+    # each re-tokenize the full corpus scan — persist the bigram stream
+    # once (spills to disk at scale; dedup.py's shared janitor frees the
+    # previous call's frames since callers get no unpersist handle)
+    _drain_persisted()
+    big = big.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(big)
+    uni = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    lm = big.groupBy("w1", "w2").agg(F.count("*").alias("c12")).join(uni, "w1")
+    # vocabulary from the persisted bigram stream (w1 plus each doc's
+    # final w2), not from toks — avoids a fourth full corpus scan; a
+    # single-token doc contributes no bigram and its token cannot affect
+    # any bigram's probability, so dropping it from V only perturbs the
+    # smoothing constant by the rarest possible margin
+    vocab = (
+        big.select(F.col("w1").alias("w"))
+        .union(big.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    return (
+        doc_big.join(lm, ["w1", "w2"])
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (
+                -F.sum(
+                    F.col("n")
+                    * F.log2(
+                        (F.col("c12") + F.lit(k))
+                        / (F.col("c1") + F.lit(k) * F.col("v"))
+                    )
+                )
+                / F.sum("n")
+            ).alias("xent"),
+        )
+        .withColumn("ppl", F.pow(F.lit(2.0), F.col("xent")))
+    )
+
+
+def lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    return bigram_lm_scores(load(spark, sf, "documents"))
+
+
 QUERIES.update(
     {
         "bm25_topk": bm25_topk,
@@ -489,6 +585,10 @@ QUERIES.update(
         "ngram_topk": ngram_topk,
         "repetition_quality": repetition_quality,
         "stratified_sample": stratified_sample,
+        # rows-only: the oracle window is full at 50 (see registry.py);
+        # exactness is pinned by the pure-python mirror in
+        # tests/test_corpus_ops.py instead
+        "lm_perplexity": lm_perplexity,
     }
 )
 ORACLES.update(

@@ -187,3 +187,55 @@ def test_redact_col_crafted_strings(spark):
     for (s, want_r, (we, wi, wp)), row in zip(cases, got):
         assert row["r"] == want_r, s
         assert (row["e"], row["i"], row["p"]) == (we, wi, wp), s
+
+
+def test_lm_perplexity_matches_pure_python(spark):
+    """bigram_lm_scores vs an independent pure-python add-k bigram LM on
+    real sf0.001 docs: xent matches to 1e-9 for every doc."""
+    import math
+    import re
+
+    from ecc_spark.ops.corpus_ops import bigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    k = 0.5
+    tok = {d: [t for t in re.split(r"[^a-z0-9']+", t.lower()) if t] for d, t in rows}
+    uni: dict = {}
+    bg: dict = {}
+    vocab = set()
+    for ts in tok.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            uni[a] = uni.get(a, 0) + 1
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    v = len(vocab)
+    want = {}
+    for d, ts in tok.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        want[d] = -sum(
+            math.log2((bg[p] + k) / (uni[p[0]] + k * v)) for p in pairs
+        ) / len(pairs)
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs, k=k).collect()}
+    assert set(got) == set(want)
+    for d, xent in want.items():
+        assert abs(got[d]["xent"] - xent) < 1e-9, d
+        assert abs(got[d]["ppl"] - 2 ** xent) < 1e-6, d
+
+
+def test_lm_perplexity_orders_natural_below_gibberish(spark):
+    """The filtering semantics CCNet relies on: text whose transitions
+    repeat the corpus distribution scores lower perplexity than
+    token-soup of corpus-foreign words."""
+    from ecc_spark.ops.corpus_ops import bigram_lm_scores
+
+    natural = "the quick brown fox jumps over the lazy dog " * 6
+    soup = "zq xv qk jw vz kx wj qz vx kq " + "aa bb cc dd ee ff gg hh " * 2
+    base = [(i, natural) for i in range(8)]
+    df = spark.createDataFrame(
+        base + [(100, natural), (101, soup)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ppl"] for r in bigram_lm_scores(df).collect()}
+    assert got[100] < got[101]
