@@ -324,13 +324,39 @@ def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | 
     return np.tile(raw, reps)[: w * h].reshape(h, w)
 
 
+def audio_dsp_features(plane: np.ndarray) -> tuple[float, float, float]:
+    """(channels, frames) uint8 plane → (rms, zcr, spectral_centroid),
+    computed on channel 0 recentred to [-128, 128). Real numpy DSP:
+    rms in sample units; zcr = sign-change fraction per frame step;
+    centroid = magnitude-weighted mean of the rFFT bin frequencies,
+    normalized to [0, 1] of Nyquist (sample-rate-free, so the value is
+    comparable across files)."""
+    x = plane[0].astype(np.float64) - 128.0
+    if len(x) < 2:
+        return 0.0, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    sgn = np.sign(x)
+    sgn[sgn == 0] = 1  # zeros adopt the previous sign convention
+    zcr = float(np.mean(sgn[1:] != sgn[:-1]))
+    mag = np.abs(np.fft.rfft(x))
+    total = mag.sum()
+    if total == 0:
+        return rms, zcr, 0.0
+    freqs = np.arange(len(mag)) / (len(mag) - 1) if len(mag) > 1 else np.zeros(1)
+    return rms, zcr, float((freqs * mag).sum() / total)
+
+
 def decode_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
     """media → per-item feature rows via mapInPandas: decode → resize
-    (stride subsample) → mean/std/edge-energy features. Binary rows are
-    fat: repartition by a hash salt so no executor holds a skewed slice."""
+    (stride subsample) → mean/std/edge-energy features, plus real DSP
+    features (rms / zero-crossing rate / FFT spectral centroid) for
+    audio rows — null for images/video, whose plane axes aren't a time
+    series. Binary rows are fat: repartition by a hash salt so no
+    executor holds a skewed slice."""
     out_schema = (
         "media_ref string, kind string, n_bytes int, "
-        "mean double, std double, edge_energy double, thumb array<int>"
+        "mean double, std double, edge_energy double, thumb array<int>, "
+        "rms double, zcr double, spectral_centroid double"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -341,6 +367,9 @@ def decode_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
                 stride = max(1, min(px.shape) // resize_to)
                 thumb = px[::stride, ::stride][:resize_to, :resize_to]
                 dx = np.abs(np.diff(px.astype(np.int32), axis=1)).mean() if px.shape[1] > 1 else 0.0
+                rms = zcr = cent = None
+                if r.kind == "audio":
+                    rms, zcr, cent = audio_dsp_features(px)
                 rows.append(
                     {
                         "media_ref": r.media_ref,
@@ -350,6 +379,9 @@ def decode_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
                         "std": float(px.std()),
                         "edge_energy": float(dx),
                         "thumb": thumb.flatten().astype(int).tolist(),
+                        "rms": rms,
+                        "zcr": zcr,
+                        "spectral_centroid": cent,
                     }
                 )
             yield pd.DataFrame(rows)

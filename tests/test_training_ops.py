@@ -742,3 +742,36 @@ def test_video_sample_index_matches_container_truth(spark):
     # and the metadata duration column equals the container duration
     for r in media.filter("kind = 'video'").collect():
         assert probe_mp4(bytes(r["payload"]))["duration_ms"] == r["duration_ms"]
+
+
+def test_audio_dsp_features_pure_sine(spark):
+    """A 1 kHz sine at 8 kHz sample rate must land at zcr = 2f/sr = 0.25
+    and spectral centroid ~ f/Nyquist = 0.25 — real FFT, not a shape
+    placeholder. Routed end-to-end through the WAV codec + feature
+    stage."""
+    import numpy as np
+
+    from ecc_spark.ops.codecs import PNG_MAGIC  # noqa: F401 (import check)
+    from ecc_spark.ops.multimodal import encode_wav
+    from ecc_spark.schemas import MEDIA
+
+    t = np.arange(2048)
+    sine = (10000 * np.sin(2 * np.pi * 1000 / 8000 * t)).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            {"media_ref": "sine.wav", "kind": "audio",
+             "payload": encode_wav(sine[None, :]),
+             "width": None, "height": None, "duration_ms": 256},
+            {"media_ref": "img.bmp", "kind": "image",
+             "payload": encode_wav(sine[None, :]) * 0 + b"not-an-image",
+             "width": 4, "height": 4, "duration_ms": None},
+        ],
+        schema=MEDIA,
+    )
+    feats = {r["media_ref"]: r for r in decode_features(media).collect()}
+    s = feats["sine.wav"]
+    assert abs(s["zcr"] - 0.25) < 0.01
+    assert abs(s["spectral_centroid"] - 0.25) < 0.03
+    assert s["rms"] > 10  # ~10000/256/sqrt(2) in 8-bit units
+    # non-audio rows carry nulls, not zeros
+    assert feats["img.bmp"]["rms"] is None
