@@ -1079,3 +1079,202 @@ def demux_mp4(payload: bytes) -> list[bytes]:
         payload[o : o + s]
         for o, s in zip(meta["sample_offsets"], meta["sample_sizes"])
     ]
+
+
+# ---------------------------------------------------------------------
+# GIF (87a/89a): palette images, real LZW, optional Adam-less interlace
+# ---------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: little-endian bit packing, CLEAR/END codes,
+    table grows to 12 bits then freezes until the next CLEAR."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def _lzw_encode(idx: bytes, min_code_size: int) -> bytes:
+    """Real dictionary LZW (greedy longest-match), emitting CLEAR when
+    the table hits 12 bits — the inverse of _lzw_decode."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for byte in idx:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width):
+            # the code just assigned crossed the width boundary: the
+            # decoder widens after ADDING its mirror entry, so widen when
+            # next_code exceeds the current width's range
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table = fresh()
+                next_code = end + 1
+                width = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST image frame.
+    Global + local color tables, extension-block skipping, real LZW,
+    interlaced row order. Animation frames past the first are ignored
+    (the feature stage wants one plane; video-style sampling is the MP4
+    path's job)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label byte + data sub-blocks
+            i += 2
+            while payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, iw, ih = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            lflags = payload[i + 9]
+            i += 10
+            ct = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                ct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(-1, 3)
+                i += n * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[i]
+            i += 1
+            data = bytearray()
+            while payload[i]:
+                sz = payload[i]
+                data += payload[i + 1 : i + 1 + sz]
+                i += 1 + sz
+            idx = _lzw_decode(bytes(data), mcs, iw * ih).reshape(ih, iw)
+            if lflags & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = np.empty(ih, np.int64)
+                k = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, ih, step):
+                        rows[y] = k
+                        k += 1
+                idx = idx[rows]
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("GIF palette index out of range")
+            return ct[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 with <= 256 distinct colors ->
+    GIF89a bytes (global color table, one non-interlaced frame, real
+    LZW)."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 distinct colors (got {len(colors)})")
+    ct_bits = max(1, int(len(colors) - 1).bit_length())
+    ct = np.zeros((2 << (ct_bits - 1), 3), np.uint8)
+    ct[: len(colors)] = colors
+    mcs = max(2, ct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT present, size 2^ct_bits
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    lzw = _lzw_encode(idx.astype(np.uint8).tobytes(), mcs)
+    for j in range(0, len(lzw), 255):
+        block = lzw[j : j + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -39,8 +39,10 @@ from pyspark.sql import functions as F
 
 from ecc_spark.ops.codecs import (
     PNG_MAGIC as _PNG_MAGIC,
+    decode_gif,
     decode_jpeg,
     decode_png,
+    encode_gif,
     encode_jpeg,
     encode_mp4,
     encode_png,
@@ -79,15 +81,20 @@ def synth_media(spark: SparkSession, n: int = 200, seed: int = 13) -> DataFrame:
             payload = encode_wav(
                 rng.integers(-(1 << 15), 1 << 15, (1 + h % 2, 200 + h % 200), dtype=np.int16)
             )
-        elif slot == 4:  # compressed image — REAL PNG / baseline JPEG
+        elif slot == 4:  # compressed image — REAL PNG / JPEG / GIF
             width, height = 16 + h % 48, 16 + (h >> 8) % 48
             px = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
-            if (h >> 16) & 1:
+            pick = (h >> 16) % 3
+            if pick == 0:
                 ref, kind = f"Image_{i % 30}.png", "image"
                 payload = encode_png(px, filter_type=h % 5)
-            else:
+            elif pick == 1:
                 ref, kind = f"Image_{i % 30}.jpg", "image"
                 payload = encode_jpeg(px, quality=90, subsample=bool((h >> 17) & 1))
+            else:
+                ref, kind = f"Image_{i % 30}.gif", "image"
+                pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+                payload = encode_gif(pal[rng.integers(0, 32, (height, width))])
         else:  # video — REAL ISO BMFF container, opaque sample bytes
             ref, kind = f"Clip_{i % 20}.mp4", "video"
             width, height = 16 + h % 48, 16 + (h >> 8) % 48
@@ -287,6 +294,8 @@ def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | 
             return _to_plane(decode_png(payload))
         if payload[:2] == b"\xff\xd8":
             return _to_plane(decode_jpeg(payload))
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _to_plane(decode_gif(payload))
         if payload[4:8] == b"ftyp":
             # REAL demux, fake frame codec: pull the first sample's
             # actual bytes out of the container and synthesize pixels at

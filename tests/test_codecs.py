@@ -380,3 +380,92 @@ def test_mp4_multi_track_selects_video_trak():
     meta = probe_mp4(patched)
     assert (meta["width"], meta["height"]) == (32, 24)
     assert meta["sample_sizes"] == [len(s) for s in samples]
+
+
+# ------------------------------ GIF ----------------------------------
+
+
+def test_gif_roundtrip_gray_rgb_and_table_growth():
+    from ecc_spark.ops.codecs import decode_gif, encode_gif
+
+    rng = _rng(21)
+    g = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    assert (decode_gif(encode_gif(g)) == np.repeat(g[:, :, None], 3, 2)).all()
+    pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 17, (40, 50))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+    # large random image: LZW table must cross the 12-bit ceiling and
+    # emit CLEAR mid-stream (60k pixels, fresh sequences throughout)
+    big = pal[rng.integers(0, 17, (200, 300))]
+    assert (decode_gif(encode_gif(big)) == big).all()
+
+
+def test_gif_handbuilt_naive_lzw():
+    """An independent producer: a 4x1 two-color GIF whose LZW stream is
+    hand-packed literal codes (clear, 1, 0, 1, 1, end) — a shared
+    encoder/decoder bug cannot mask a decode defect."""
+    from ecc_spark.ops.codecs import decode_gif
+
+    # mcs=2 -> clear=4, end=5, width starts at 3. The decoder's table
+    # (4 roots + clear/end) grows by one per data code after the first;
+    # it reaches 8 entries right after the THIRD data code, so the
+    # fourth code and END must be written at width 4 (LZW "early
+    # change" bookkeeping the producer must mirror).
+    codes = [(4, 3), (1, 3), (0, 3), (1, 3), (1, 4), (5, 4)]
+    acc = nbits = 0
+    data = bytearray()
+    for c, width in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    gct = bytes([10, 20, 30, 200, 210, 220]) + bytes(6)  # 4-entry table
+    payload = (
+        b"GIF87a"
+        + struct.pack("<HH", 4, 1)
+        + bytes([0x81, 0, 0])  # GCT, 2 bits -> 4 entries
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, 4, 1)
+        + b"\x00"
+        + bytes([2])  # min code size
+        + bytes([len(data)])
+        + bytes(data)
+        + b"\x00\x3b"
+    )
+    got = decode_gif(payload)
+    assert got.tolist() == [
+        [[200, 210, 220], [10, 20, 30], [200, 210, 220], [200, 210, 220]]
+    ]
+
+
+def test_gif_interlaced_rows_reordered():
+    """Interlace: store rows in 4-pass order, set the flag, decode must
+    put them back. Built by permuting the image before encoding and
+    flipping the interlace bit in the image descriptor."""
+    from ecc_spark.ops.codecs import decode_gif, encode_gif
+
+    rng = _rng(22)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 8, (8, 5))]
+    pass_order = [0, 4, 2, 6, 1, 3, 5, 7]  # h=8: pass starts 0/4/2/1
+    payload = bytearray(encode_gif(img[pass_order]))
+    i = payload.index(b"\x2c")  # image descriptor: flags at +9
+    payload[i + 9] |= 0x40
+    got = decode_gif(bytes(payload))
+    assert (got == img).all()
+
+
+def test_gif_rejects_too_many_colors_and_garbage():
+    from ecc_spark.ops.codecs import decode_gif, encode_gif
+
+    rng = _rng(23)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1024 colors
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF90a" + bytes(20))
