@@ -1,0 +1,107 @@
+"""WARC source: Content-Length framing (the case that breaks naive
+delimiter splitters), gzip multi-member streams, HTTP envelope parsing,
+and distributed file-level parallelism."""
+
+from __future__ import annotations
+
+import gzip
+
+from ecc_spark.warc import (
+    encode_warc,
+    iter_warc_records,
+    read_warc,
+)
+
+
+def _recs():
+    html = b"<html><body>hello <b>crawl</b></body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Server: x\r\n\r\n" + html
+    )
+    return [
+        (
+            {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>"},
+            b"software: ecc-test",
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://example.com/a",
+                "WARC-Date": "2026-08-17T00:00:00Z",
+                "WARC-Record-ID": "<urn:uuid:1>",
+            },
+            http,
+        ),
+        (
+            {
+                "WARC-Type": "request",
+                "WARC-Target-URI": "http://example.com/a",
+                "WARC-Record-ID": "<urn:uuid:2>",
+            },
+            b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        ),
+    ], html
+
+
+def test_warc_roundtrip_and_embedded_delimiter():
+    """A body that CONTAINS 'WARC/1.0\\r\\n' must parse whole — the spec
+    frames by Content-Length, and a delimiter-split reader shears here."""
+    recs, _ = _recs()
+    evil = (
+        {"WARC-Type": "resource", "WARC-Record-ID": "<urn:uuid:3>"},
+        b"prefix WARC/1.0\r\nWARC-Type: fake\r\n\r\n suffix",
+    )
+    payload = encode_warc(recs + [evil])
+    got = list(iter_warc_records(payload))
+    assert len(got) == 4
+    assert got[3][1] == evil[1]
+    assert [h["warc-type"] for h, _ in got] == [
+        "warcinfo", "response", "request", "resource",
+    ]
+
+
+def test_warc_gzip_multimember():
+    recs, _ = _recs()
+    gz = encode_warc(recs, compress=True)
+    # really multi-member: each record is its own gzip member
+    assert gz.count(b"\x1f\x8b\x08") >= 3
+    got = list(iter_warc_records(gz))
+    assert [h["warc-type"] for h, _ in got] == ["warcinfo", "response", "request"]
+    # and single-member (whole-stream) gzip also inflates
+    plain = encode_warc(recs)
+    got2 = list(iter_warc_records(gzip.compress(plain)))
+    assert len(got2) == 3
+
+
+def test_read_warc_spark_rows(spark, tmp_path):
+    """End-to-end through binaryFile + mapInPandas: response records get
+    the HTTP envelope parsed off; two files parse independently."""
+    recs, html = _recs()
+    (tmp_path / "a.warc").write_bytes(encode_warc(recs))
+    (tmp_path / "b.warc.gz").write_bytes(encode_warc(recs, compress=True))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    by_key = {(r["path"].rsplit("/", 1)[-1], r["rec_i"]): r for r in rows}
+    for fname in ("a.warc", "b.warc.gz"):
+        resp = by_key[(fname, 1)]
+        assert resp["warc_type"] == "response"
+        assert resp["http_status"] == 200
+        assert resp["http_content_type"] == "text/html; charset=utf-8"
+        assert bytes(resp["body"]) == html
+        assert resp["target_uri"] == "http://example.com/a"
+        req = by_key[(fname, 2)]
+        assert req["http_status"] is None  # request bodies stay raw
+        assert bytes(req["body"]).startswith(b"GET /a")
+
+
+def test_warc_truncated_raises():
+    recs, _ = _recs()
+    payload = encode_warc(recs)
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(payload[:-30]))
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(b"NOT A WARC" + payload))
