@@ -166,3 +166,168 @@ def encode_warc(
         rec += b"\r\n" + body + b"\r\n\r\n"
         out += gzip.compress(bytes(rec)) if compress else rec
     return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# HTML -> interleaved spans (the BASELINE input_hint shape), so WARC
+# responses feed the same phase-1 pipeline as wikitext documents.
+# ---------------------------------------------------------------------
+
+from html.parser import HTMLParser  # noqa: E402 (stdlib, tolerant of tag soup)
+
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "td", "th", "table", "section", "article", "header", "footer",
+    "blockquote", "pre", "hr", "title", "nav", "aside", "figure",
+}
+
+
+class _SpanExtractor(HTMLParser):
+    """Tag-soup-tolerant extraction to the repo span invariant: spans'
+    offsets index the reconstructed plain text (text spans contribute
+    their text, link spans their shown anchor, media spans nothing).
+    Whitespace collapses to single spaces; block boundaries separate
+    words; script/style subtrees vanish."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.spans: list[dict] = []
+        self.plain_len = 0
+        self._skip = 0
+        self._href: str | None = None
+        self._anchor: list[str] = []
+        self._pending_ws = False
+
+    def _flush_ws(self) -> None:
+        """Materialize a pending word separator before a link/media span
+        — _emit_text can't carry it (a lone space collapses to empty)."""
+        if self._pending_ws and self.plain_len > 0:
+            if self.spans and self.spans[-1]["kind"] == "text":
+                self.spans[-1]["text"] += " "
+            else:
+                self.spans.append(
+                    {"kind": "text", "text": " ", "media_ref": "", "offset": self.plain_len}
+                )
+            self.plain_len += 1
+        self._pending_ws = False
+
+    def _emit_text(self, raw: str) -> None:
+        seg = " ".join(raw.split())
+        if not seg:
+            self._pending_ws = self._pending_ws or (bool(raw) and self.plain_len > 0)
+            return
+        lead = " " if (self._pending_ws or (raw[:1].isspace() and self.plain_len > 0)) else ""
+        trail_ws = raw[-1:].isspace()
+        seg = lead + seg
+        if self.spans and self.spans[-1]["kind"] == "text":
+            self.spans[-1]["text"] += seg
+        else:
+            self.spans.append(
+                {"kind": "text", "text": seg, "media_ref": "", "offset": self.plain_len}
+            )
+        self.plain_len += len(seg)
+        self._pending_ws = trail_ws
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag in _BLOCK_TAGS and self.plain_len > 0:
+            self._pending_ws = True
+        if tag == "a":
+            href = dict(attrs).get("href")
+            if self._href is None and href:
+                self._href = href
+                self._anchor = []
+        elif tag == "img":
+            src = dict(attrs).get("src")
+            if src:
+                # media contributes no plain text, so a pending word
+                # separator stays pending across it (flushing here AND
+                # at the next block boundary would double the space)
+                self.spans.append(
+                    {"kind": "media", "text": "", "media_ref": src, "offset": self.plain_len}
+                )
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag in _BLOCK_TAGS:
+            self._pending_ws = True
+        if tag == "a" and self._href is not None:
+            shown = " ".join("".join(self._anchor).split())
+            if shown:
+                self._flush_ws()
+                self.spans.append(
+                    {
+                        "kind": "link",
+                        "text": shown,
+                        "media_ref": self._href,
+                        "offset": self.plain_len,
+                    }
+                )
+                self.plain_len += len(shown)
+                self._pending_ws = False
+            self._href = None
+            self._anchor = []
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._href is not None:
+            self._anchor.append(data)
+            return
+        self._emit_text(data)
+
+
+def html_to_spans(markup: str) -> list[dict]:
+    """HTML → interleaved (kind, text, media_ref, offset) spans. The
+    invariant the rest of the engine relies on: concatenating text-span
+    texts and link-span shown texts in order reproduces the plain text,
+    and every span's offset is its position in that plain text."""
+    p = _SpanExtractor()
+    p.feed(markup)
+    p.close()
+    return p.spans
+
+
+def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → the DOCUMENTS table shape (doc_id = target
+    URI, spans = interleaved text/link/media): HTTP-200 HTML responses
+    only, decoded utf-8 (latin-1 fallback — never raises), extracted by
+    html_to_spans in the same mapInPandas pass that read the archive."""
+    from pyspark.sql import functions as F
+
+    resp = read_warc(spark, path).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html")
+    )
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = bytes(r.body)
+                try:
+                    markup = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    markup = raw.decode("latin-1")
+                rows.append(
+                    {
+                        "doc_id": r.target_uri,
+                        "redirect": None,
+                        "spans": html_to_spans(markup),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "redirect", "spans"])
+
+    from ecc_spark.schemas import DOCUMENTS
+
+    return resp.mapInPandas(extract, schema=DOCUMENTS)

@@ -105,3 +105,93 @@ def test_warc_truncated_raises():
         list(iter_warc_records(payload[:-30]))
     with pytest.raises(ValueError, match="version line"):
         list(iter_warc_records(b"NOT A WARC" + payload))
+
+
+def test_html_to_spans_offset_invariant_and_kinds():
+    """The repo span invariant on messy HTML: every span's offset equals
+    the length of the plain text built from the spans before it; scripts
+    vanish; entities decode; anchors become link spans; images become
+    media spans."""
+    from ecc_spark.warc import html_to_spans
+
+    html = (
+        "<html><head><title>T</title><script>var x = '<a href=no>';"
+        "</script></head><body><p>Hello &amp; welcome to "
+        '<a href="/wiki/Spark">Apache  Spark</a>!</p>'
+        '<img src="logo.png"><div>More   text &lt;here&gt;</div>'
+        '<ul><li>one</li><li><a href="http://x/y">two</a></li></ul></body>'
+    )
+    spans = html_to_spans(html)
+    plain = ""
+    for s in spans:
+        assert s["offset"] == len(plain), s
+        if s["kind"] in ("text", "link"):
+            plain += s["text"]
+    assert "no" not in plain  # script content gone
+    assert "Hello & welcome to" in plain  # entity decoded
+    assert "<here>" in plain
+    links = [(s["text"], s["media_ref"]) for s in spans if s["kind"] == "link"]
+    assert ("Apache Spark", "/wiki/Spark") in links  # inner ws collapsed
+    assert ("two", "http://x/y") in links
+    media = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    assert media == ["logo.png"]
+    # adjacent text spans merged: no two consecutive text spans
+    kinds = [s["kind"] for s in spans]
+    assert all(
+        not (a == b == "text") for a, b in zip(kinds, kinds[1:])
+    )
+
+
+def test_html_to_spans_tag_soup_does_not_raise():
+    from ecc_spark.warc import html_to_spans
+
+    soup = "<p><a href='x'>unclosed <b>nested<div></a  ><img><a>no href</a>"
+    spans = html_to_spans(soup)  # tolerance, not correctness, is the bar
+    plain = ""
+    for s in spans:
+        assert s["offset"] == len(plain)
+        if s["kind"] in ("text", "link"):
+            plain += s["text"]
+
+
+def test_warc_to_documents_end_to_end(spark, tmp_path):
+    """HTTP-200 HTML responses become DOCUMENTS-schema rows; non-HTML
+    and non-200 records are filtered out; the span invariant holds on
+    the Spark side of the Arrow boundary."""
+    from ecc_spark.schemas import DOCUMENTS
+    from ecc_spark.warc import encode_warc, warc_to_documents
+
+    def resp(uri, ctype, body, status=200):
+        http = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n\r\n".encode()
+            + body
+        )
+        return (
+            {"WARC-Type": "response", "WARC-Target-URI": uri,
+             "WARC-Record-ID": f"<urn:uuid:{uri}>"},
+            http,
+        )
+
+    recs = [
+        resp("http://a/1", "text/html; charset=utf-8",
+             b'<p>alpha <a href="http://a/2">beta</a></p><img src="i.png">'),
+        resp("http://a/2", "text/plain", b"not html"),
+        resp("http://a/3", "text/html", b"<p>gone</p>", status=404),
+        resp("http://a/4", "application/xhtml+xml; charset=utf-8",
+             b"<p>xhtml counts</p>"),
+    ]
+    (tmp_path / "x.warc.gz").write_bytes(encode_warc(recs, compress=True))
+    df = warc_to_documents(spark, str(tmp_path))
+    assert df.schema == DOCUMENTS
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {"http://a/1", "http://a/4"}
+    spans = rows["http://a/1"]["spans"]
+    plain = ""
+    for s in spans:
+        assert s["offset"] == len(plain)
+        if s["kind"] in ("text", "link"):
+            plain += s["text"]
+    assert plain == "alpha beta"
+    assert [s["kind"] for s in spans] == ["text", "link", "media"]
+    assert spans[1]["media_ref"] == "http://a/2"
+    assert spans[2]["media_ref"] == "i.png"
