@@ -1,18 +1,22 @@
-"""Pure numpy + stdlib codecs for COMPRESSED media formats (PNG, JPEG).
+"""Pure numpy + stdlib codecs for compressed media: PNG, baseline JPEG,
+GIF, and the ISO BMFF (MP4) container.
 
 VERDICT r3 "What's missing" #3: PIL/av are absent from this image, so
 compressed formats previously fell back to a deterministic fake. PNG
-needs only ``zlib`` (stdlib) plus scanline unfiltering, and baseline
-JPEG is DCT + Huffman — both implementable for real in numpy. These are
+needs only ``zlib`` (stdlib) plus scanline unfiltering; baseline JPEG
+is DCT + Huffman in numpy; GIF is LZW; MP4 is a box walk. These are
 from-scratch implementations of the public specs (PNG: RFC 2083 / ISO
-15948; JPEG: ITU-T T.81 baseline sequential + JFIF), NOT ports of any
-library.
+15948; JPEG: ITU-T T.81 baseline sequential + JFIF; GIF: the 87a/89a
+spec; MP4: ISO 14496-12), NOT ports of any library. Only video FRAME
+decode (H.264 inside the demuxed samples) remains env-blocked.
 
 Decoders are strict: malformed payloads raise, and the multimodal
 routing layer (ecc_spark.ops.multimodal._decode_payload) treats a raise
-as "not this format". Encoders exist so the codecs are testable without
-external fixtures — round-trip tests pin byte-exactness (PNG, all five
-filter types) and near-losslessness (JPEG at quantizer 1).
+as "not this format". Encoders/muxers exist so the codecs are testable
+without external fixtures — round-trip tests pin byte-exactness (PNG
+all five filter types, GIF through the 12-bit LZW ceiling, MP4 demux)
+and near-losslessness (JPEG at quantizer 1), with hand-built fixtures
+as independent producers where a shared bug could hide.
 
 Reference behavior parity target: the reference repo stores media as
 opaque blobs and never decodes (entity-context-crawler has no media
