@@ -195,3 +195,62 @@ def test_warc_to_documents_end_to_end(spark, tmp_path):
     assert [s["kind"] for s in spans] == ["text", "link", "media"]
     assert spans[1]["media_ref"] == "http://a/2"
     assert spans[2]["media_ref"] == "i.png"
+
+
+def test_warc_feeds_phase1_matches_pipeline(spark, tmp_path):
+    """The capability claim behind the WARC source: a user can run the
+    reference's phase-1 matches pipeline over a web archive. Link
+    targets are web URLs, so they pass through the SAME url->title
+    projection the reference applies to seed URLs (OPS-9,
+    matches.seed_title_map's rule: unquote, last path segment, _ ->
+    space) before the seed semi-join."""
+    import pyspark.sql.functions as F
+
+    from ecc_spark.matches import build_matches
+    from ecc_spark.schemas import SEEDS
+    from ecc_spark.warc import encode_warc, warc_to_documents
+
+    def resp(uri, body):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        return (
+            {"WARC-Type": "response", "WARC-Target-URI": uri,
+             "WARC-Record-ID": f"<urn:{uri}>"},
+            http,
+        )
+
+    recs = [
+        resp("http://w/A", b'<p>Seen with <a href="http://w/wiki/Albert_Einstein">'
+                           b"Einstein</a> at the patent office.</p>"),
+        resp("http://w/B", b'<p>No entity links, just <a href="http://w/other">'
+                           b"noise</a> here.</p>"),
+    ]
+    (tmp_path / "w.warc").write_bytes(encode_warc(recs))
+    docs = warc_to_documents(spark, str(tmp_path))
+    # web hrefs -> wiki-title space with the engine's own projection rule
+    title = lambda c: F.replace(  # noqa: E731
+        F.regexp_extract(F.url_decode(c), r"([^/]+)$", 1), F.lit("_"), F.lit(" ")
+    )
+    docs = docs.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s.kind.alias("kind"),
+                s.text.alias("text"),
+                F.when(s.kind == "link", title(s.media_ref))
+                .otherwise(s.media_ref)
+                .alias("media_ref"),
+                s.offset.alias("offset"),
+            ),
+        ),
+    )
+    seeds = spark.createDataFrame(
+        [("m1", "Albert Einstein", "http://w/wiki/Albert_Einstein")], schema=SEEDS
+    )
+    pages, matches, mentions = build_matches(docs, seeds)
+    assert {r["title"] for r in pages.collect()} == {"http://w/A", "http://w/B"}
+    got = matches.collect()
+    assert {(r["page"], r["mid"], r["mention"]) for r in got} == {
+        ("http://w/A", "m1", "Einstein")
+    }
+    assert {(r["mid"], r["mention"]) for r in mentions.collect()} == {("m1", "Einstein")}
