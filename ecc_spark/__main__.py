@@ -8,6 +8,7 @@ factory only fills in a master when none is configured.
     python -m ecc_spark ingest            markup.parquet docs.parquet
     python -m ecc_spark build-matches-db  docs.parquet entities.json out_matches/
     python -m ecc_spark build-contexts-db entities.json mid2rid.txt matches/ out_contexts/
+    python -m ecc_spark ingest-warc       archive.warc.gz docs.parquet
     python -m ecc_spark crawl             seeds.txt workdir/
 
 Divergences from the reference, all documented: --in-memory is accepted
@@ -220,6 +221,30 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_ingest_warc(args) -> int:
+    """WARC archive(s) → documents parquet (doc_id = target URI, spans)
+    and optionally media parquet (archived image/audio/video payloads),
+    via ecc_spark.warc's Content-Length-framed file-parallel reader."""
+    from ecc_spark.session import get_spark
+    from ecc_spark.warc import warc_to_documents, warc_to_media
+
+    if not os.path.exists(args.warc_path):
+        print("WARC path not found")
+        return 2
+    if not _check_overwrite(args.out_parquet, args.overwrite, "Documents parquet"):
+        return 2
+    spark = get_spark("ecc_ingest_warc")
+    docs = warc_to_documents(spark, args.warc_path)
+    docs.write.mode("overwrite").parquet(args.out_parquet)
+    n_docs = spark.read.parquet(args.out_parquet).count()
+    print(f"documents: {n_docs}")
+    if args.media_parquet:
+        media = warc_to_media(spark, args.warc_path)
+        media.write.mode("overwrite").parquet(args.media_parquet)
+        print(f"media: {spark.read.parquet(args.media_parquet).count()}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = ArgumentParser(
         formatter_class=_formatter,
@@ -243,6 +268,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit-pages", type=int, default=None)
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=cmd_ingest_xml)
+
+    p = subs.add_parser("ingest-warc", formatter_class=_formatter, parents=[common])
+    p.add_argument("warc_path", metavar="warc-path",
+                   help="a .warc/.warc.gz file or a directory of them")
+    p.add_argument("out_parquet", metavar="out-parquet")
+    p.add_argument("--media-parquet", default=None,
+                   help="also extract archived image/audio/video responses")
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(func=cmd_ingest_warc)
 
     p = subs.add_parser("build-matches-db", formatter_class=_formatter, parents=[common])
     p.add_argument("docs_parquet", metavar="docs-parquet")

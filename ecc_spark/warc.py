@@ -331,3 +331,38 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     from ecc_spark.schemas import DOCUMENTS
 
     return resp.mapInPandas(extract, schema=DOCUMENTS)
+
+
+_MEDIA_KINDS = (("image/", "image"), ("audio/", "audio"), ("video/", "video"))
+
+
+def warc_to_media(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → the MEDIA table shape: HTTP-200 responses whose
+    content type is image/*, audio/* or video/* become (media_ref =
+    target URI, kind, payload) rows — the input the codec/feature stage
+    (ops.multimodal.decode_features) consumes, so a web archive's media
+    flows into the same multimodal pipeline as synthetic payloads.
+    Width/height/duration stay null: the DECODERS are the source of
+    truth for dimensions (tkhd for MP4, IHDR for PNG, ...), and the
+    feature stage only falls back to the metadata columns for payloads
+    nothing can parse."""
+    from pyspark.sql import functions as F
+
+    ctype = F.lower(F.coalesce("http_content_type", F.lit("")))
+    kind = F.lit(None).cast("string")
+    for prefix, k in _MEDIA_KINDS:
+        kind = F.when(ctype.startswith(prefix), F.lit(k)).otherwise(kind)
+    return (
+        read_warc(spark, path)
+        .filter((F.col("warc_type") == "response") & (F.col("http_status") == 200))
+        .withColumn("kind", kind)
+        .filter(F.col("kind").isNotNull())
+        .select(
+            F.col("target_uri").alias("media_ref"),
+            "kind",
+            F.col("body").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        )
+    )

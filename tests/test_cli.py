@@ -127,3 +127,39 @@ def test_cli_crawl_robots_dir_and_sitemap_seeds(spark, tmp_path):
 
     seen = {r["url"] for r in SnapshotTable(spark, wd, "seen", append=True).read().collect()}
     assert seen == {"http://s.test/a", "http://s.test/b"}  # /private/ gated
+
+
+def test_cli_ingest_warc(spark, tmp_path):
+    """ingest-warc: archive in, DOCUMENTS parquet out (+ media parquet
+    for archived image responses) through the same in-process CLI."""
+    import numpy as np
+
+    from ecc_spark.ops.codecs import encode_png
+    from ecc_spark.warc import encode_warc
+
+    def resp(uri, ctype, body):
+        http = f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode() + body
+        return ({"WARC-Type": "response", "WARC-Target-URI": uri,
+                 "WARC-Record-ID": f"<urn:{uri}>"}, http)
+
+    png = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    recs = [
+        resp("http://c/1", "text/html", b"<p>one <a href='T'>link</a></p>"),
+        resp("http://c/2", "image/png", png),
+    ]
+    (tmp_path / "a.warc.gz").write_bytes(encode_warc(recs, compress=True))
+    docs_out = str(tmp_path / "docs.parquet")
+    media_out = str(tmp_path / "media.parquet")
+    rc = cli([
+        "ecc", "ingest-warc", str(tmp_path), docs_out,
+        "--media-parquet", media_out,
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(docs_out)
+    assert [r["doc_id"] for r in docs.collect()] == ["http://c/1"]
+    assert docs.select(F.explode("spans").alias("s")).filter(
+        "s.kind = 'link'"
+    ).count() == 1
+    media = spark.read.parquet(media_out).collect()
+    assert [(r["media_ref"], r["kind"]) for r in media] == [("http://c/2", "image")]
+    assert bytes(media[0]["payload"]) == png

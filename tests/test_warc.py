@@ -254,3 +254,41 @@ def test_warc_feeds_phase1_matches_pipeline(spark, tmp_path):
         ("http://w/A", "m1", "Einstein")
     }
     assert {(r["mid"], r["mention"]) for r in mentions.collect()} == {("m1", "Einstein")}
+
+
+def test_warc_to_media_feeds_codec_feature_stage(spark, tmp_path):
+    """An archived PNG response decodes through the REAL codec in the
+    feature stage: luma mean exact; non-media responses are excluded."""
+    import numpy as np
+
+    from ecc_spark.ops.codecs import encode_png
+    from ecc_spark.ops.multimodal import decode_features
+    from ecc_spark.schemas import MEDIA
+    from ecc_spark.warc import encode_warc, warc_to_media
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    luma = (299 * rgb[..., 0].astype(int) + 587 * rgb[..., 1].astype(int)
+            + 114 * rgb[..., 2].astype(int)) // 1000
+    png = encode_png(rgb, filter_type=2)
+
+    def resp(uri, ctype, body):
+        http = f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode() + body
+        return ({"WARC-Type": "response", "WARC-Target-URI": uri,
+                 "WARC-Record-ID": f"<urn:{uri}>"}, http)
+
+    recs = [
+        resp("http://m/logo.png", "image/png", png),
+        resp("http://m/page", "text/html", b"<p>not media</p>"),
+    ]
+    (tmp_path / "m.warc").write_bytes(encode_warc(recs))
+    media = warc_to_media(spark, str(tmp_path))
+    # same names/types as MEDIA (nullability differs: a select cannot
+    # prove non-null, and the feature stage accepts nullable metadata)
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in MEDIA.fields
+    ]
+    rows = media.collect()
+    assert [r["media_ref"] for r in rows] == ["http://m/logo.png"]
+    feats = decode_features(media).collect()
+    assert feats[0]["mean"] == float(luma.mean())
