@@ -228,20 +228,38 @@ def cmd_ingest_warc(args) -> int:
     from ecc_spark.session import get_spark
     from ecc_spark.warc import warc_to_documents, warc_to_media
 
+    from ecc_spark.warc import read_warc
+
     if not os.path.exists(args.warc_path):
         print("WARC path not found")
         return 2
     if not _check_overwrite(args.out_parquet, args.overwrite, "Documents parquet"):
         return 2
+    if args.media_parquet and not _check_overwrite(
+        args.media_parquet, args.overwrite, "Media parquet"
+    ):
+        return 2
     spark = get_spark("ecc_ingest_warc")
-    docs = warc_to_documents(spark, args.warc_path)
-    docs.write.mode("overwrite").parquet(args.out_parquet)
-    n_docs = spark.read.parquet(args.out_parquet).count()
-    print(f"documents: {n_docs}")
-    if args.media_parquet:
-        media = warc_to_media(spark, args.warc_path)
-        media.write.mode("overwrite").parquet(args.media_parquet)
-        print(f"media: {spark.read.parquet(args.media_parquet).count()}")
+    # parse each archive ONCE: both extractors consume the same
+    # persisted records frame (gunzip + Content-Length framing is the
+    # dominant cost; running it twice would double the whole job)
+    records = read_warc(spark, args.warc_path).persist()
+    try:
+        warc_to_documents(spark, records).write.mode("overwrite").parquet(
+            args.out_parquet
+        )
+        print(f"documents: {spark.read.parquet(args.out_parquet).count()}")
+        if args.media_parquet:
+            warc_to_media(spark, records).write.mode("overwrite").parquet(
+                args.media_parquet
+            )
+            print(f"media: {spark.read.parquet(args.media_parquet).count()}")
+        n_bad = records.filter("warc_type = 'parse_error'").count()
+        if n_bad:
+            print(f"WARNING: {n_bad} file(s) had parse errors (skipped; "
+                  "see warc_type='parse_error' rows via ecc_spark.warc.read_warc)")
+    finally:
+        records.unpersist()
     return 0
 
 

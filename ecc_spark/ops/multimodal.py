@@ -329,6 +329,8 @@ def _decode_payload(payload: bytes, kind: str, width: int | None, height: int | 
     w = 16 if width is None or width != width else int(width)
     h = 16 if height is None or height != height else int(height)
     raw = np.frombuffer(payload, dtype=np.uint8)
+    if len(raw) == 0:  # zero-length payloads exist in real archives
+        return np.zeros((h, w), np.uint8)
     reps = (w * h + len(raw) - 1) // len(raw)
     return np.tile(raw, reps)[: w * h].reshape(h, w)
 
@@ -344,9 +346,13 @@ def audio_dsp_features(plane: np.ndarray) -> tuple[float, float, float]:
     if len(x) < 2:
         return 0.0, 0.0, 0.0
     rms = float(np.sqrt(np.mean(x * x)))
+    # a crossing is a sign change between consecutive NONZERO samples:
+    # zero samples are transparent, so ...-1, 0, -1... counts no
+    # crossing and ...-1, 0, 1... counts exactly one
     sgn = np.sign(x)
-    sgn[sgn == 0] = 1  # zeros adopt the previous sign convention
-    zcr = float(np.mean(sgn[1:] != sgn[:-1]))
+    nz = sgn[sgn != 0]
+    crossings = int(np.count_nonzero(nz[1:] != nz[:-1])) if len(nz) > 1 else 0
+    zcr = crossings / (len(x) - 1)
     mag = np.abs(np.fft.rfft(x))
     total = mag.sum()
     if total == 0:

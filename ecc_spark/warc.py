@@ -29,6 +29,7 @@ external fixtures (same policy as ecc_spark.ops.codecs).
 from __future__ import annotations
 
 import gzip
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 WARC_SCHEMA = (
     "path string, rec_i int, warc_type string, target_uri string, "
-    "warc_date string, record_id string, content_length int, "
+    "warc_date string, record_id string, content_length long, "
     "http_status int, http_content_type string, body binary"
 )
 
@@ -91,9 +92,29 @@ def iter_warc_records(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             i += 2
 
 
+def _dechunk(payload: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked body (RFC 9112 §7.1):
+    hex-size CRLF data CRLF ... 0 CRLF [trailers] CRLF."""
+    out = bytearray()
+    i = 0
+    while True:
+        j = payload.find(b"\r\n", i)
+        if j < 0:
+            raise ValueError("chunked body missing size line")
+        size = int(payload[i:j].split(b";")[0], 16)  # ignore chunk extensions
+        if size == 0:
+            return bytes(out)
+        out += payload[j + 2 : j + 2 + size]
+        i = j + 2 + size + 2  # skip the chunk's trailing CRLF
+
+
 def _parse_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     """'application/http; msgtype=response' body → (status, content-type,
-    payload). A malformed status line degrades to (None, None, body)."""
+    payload). Transfer-Encoding: chunked is reassembled and
+    Content-Encoding: gzip/deflate inflated — real archives carry both,
+    and passing them through raw would silently feed garbage downstream.
+    A malformed envelope degrades to (None, None, body) so the record
+    stays visible rather than vanishing."""
     he = body.find(b"\r\n\r\n")
     if he < 0 or not body.startswith(b"HTTP/"):
         return None, None, body
@@ -104,14 +125,39 @@ def _parse_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         return None, None, body
     headers = _parse_headers(body[ver_end + 2 : he])
-    return status, headers.get("content-type"), body[he + 4 :]
+    payload = body[he + 4 :]
+    try:
+        if "chunked" in headers.get("transfer-encoding", "").lower():
+            payload = _dechunk(payload)
+        enc = headers.get("content-encoding", "").lower()
+        if enc in ("gzip", "x-gzip"):
+            payload = gzip.decompress(payload)
+        elif enc == "deflate":
+            import zlib as _zlib
+
+            try:
+                payload = _zlib.decompress(payload)
+            except _zlib.error:  # raw-deflate variant some servers send
+                payload = _zlib.decompress(payload, -15)
+    except Exception:  # noqa: BLE001 — lying headers: keep the raw bytes
+        payload = body[he + 4 :]
+    return status, headers.get("content-type"), payload
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC reader: one row per record. 'response' records
     get their HTTP envelope parsed off (http_status / http_content_type
     / payload body); other record types (request, metadata, warcinfo,
-    ...) carry their raw body."""
+    ...) carry their raw body.
+
+    Per-file error CONTAINMENT: a malformed/truncated file (routine in
+    real snapshots) must not abort the other ~90k segments' work, and it
+    must not vanish silently either — such a file yields ONE row with
+    ``warc_type = "parse_error"``, rec_i = -1 and the error message as
+    the body. Records already parsed before the error are kept. Every
+    downstream consumer filters on warc_type, so error rows drop out of
+    pipelines naturally while staying countable/auditable in the raw
+    frame."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,25 +169,41 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                for rec_i, (hdr, body) in enumerate(
-                    iter_warc_records(bytes(r.content))
-                ):
-                    status = ctype = None
-                    wtype = hdr.get("warc-type", "")
-                    if wtype == "response" and body.startswith(b"HTTP/"):
-                        status, ctype, body = _parse_http_response(body)
+                try:
+                    for rec_i, (hdr, body) in enumerate(
+                        iter_warc_records(bytes(r.content))
+                    ):
+                        status = ctype = None
+                        wtype = hdr.get("warc-type", "")
+                        if wtype == "response" and body.startswith(b"HTTP/"):
+                            status, ctype, body = _parse_http_response(body)
+                        rows.append(
+                            {
+                                "path": r.path,
+                                "rec_i": rec_i,
+                                "warc_type": wtype,
+                                "target_uri": hdr.get("warc-target-uri"),
+                                "warc_date": hdr.get("warc-date"),
+                                "record_id": hdr.get("warc-record-id"),
+                                "content_length": int(hdr["content-length"]),
+                                "http_status": status,
+                                "http_content_type": ctype,
+                                "body": body,
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001 — bad file, not bad job
                     rows.append(
                         {
                             "path": r.path,
-                            "rec_i": rec_i,
-                            "warc_type": wtype,
-                            "target_uri": hdr.get("warc-target-uri"),
-                            "warc_date": hdr.get("warc-date"),
-                            "record_id": hdr.get("warc-record-id"),
-                            "content_length": int(hdr["content-length"]),
-                            "http_status": status,
-                            "http_content_type": ctype,
-                            "body": body,
+                            "rec_i": -1,
+                            "warc_type": "parse_error",
+                            "target_uri": None,
+                            "warc_date": None,
+                            "record_id": None,
+                            "content_length": 0,
+                            "http_status": None,
+                            "http_content_type": None,
+                            "body": str(exc).encode("utf-8", "replace"),
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -217,7 +279,11 @@ class _SpanExtractor(HTMLParser):
         if not seg:
             self._pending_ws = self._pending_ws or (bool(raw) and self.plain_len > 0)
             return
-        lead = " " if (self._pending_ws or (raw[:1].isspace() and self.plain_len > 0)) else ""
+        lead = (
+            " "
+            if self.plain_len > 0 and (self._pending_ws or raw[:1].isspace())
+            else ""
+        )
         trail_ws = raw[-1:].isspace()
         seg = lead + seg
         if self.spans and self.spans[-1]["kind"] == "text":
@@ -297,14 +363,37 @@ def html_to_spans(markup: str) -> list[dict]:
     return p.spans
 
 
-def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
-    """WARC archive(s) → the DOCUMENTS table shape (doc_id = target
-    URI, spans = interleaved text/link/media): HTTP-200 HTML responses
-    only, decoded utf-8 (latin-1 fallback — never raises), extracted by
-    html_to_spans in the same mapInPandas pass that read the archive."""
+def _records(spark: SparkSession, src: str | DataFrame) -> DataFrame:
+    """Accept a path OR an already-read records frame — the CLI parses
+    each archive ONCE and feeds both the documents and media extractors
+    from the same (persisted) frame."""
+    return src if isinstance(src, DataFrame) else read_warc(spark, src)
+
+
+def _decode_body(raw: bytes, content_type: str | None) -> str:
+    """Declared charset first (the header is RIGHT for most legacy
+    pages), utf-8 second, latin-1 last (never raises)."""
+    m = re.search(r"charset=[\"']?([\w.:-]+)", content_type or "", re.I)
+    if m:
+        try:
+            return raw.decode(m.group(1))
+        except (UnicodeDecodeError, LookupError):
+            pass
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def warc_to_documents(spark: SparkSession, src: str | DataFrame) -> DataFrame:
+    """WARC archive(s) (path, or a read_warc frame to reuse) → the
+    DOCUMENTS table shape (doc_id = target URI, spans = interleaved
+    text/link/media): HTTP-200 HTML responses only, decoded by the
+    DECLARED charset (utf-8 / latin-1 fallback — never raises),
+    extracted by html_to_spans in the same mapInPandas pass."""
     from pyspark.sql import functions as F
 
-    resp = read_warc(spark, path).filter(
+    resp = _records(spark, src).filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
         & F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html")
@@ -314,11 +403,7 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                raw = bytes(r.body)
-                try:
-                    markup = raw.decode("utf-8")
-                except UnicodeDecodeError:
-                    markup = raw.decode("latin-1")
+                markup = _decode_body(bytes(r.body), r.http_content_type)
                 rows.append(
                     {
                         "doc_id": r.target_uri,
@@ -336,7 +421,7 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
 _MEDIA_KINDS = (("image/", "image"), ("audio/", "audio"), ("video/", "video"))
 
 
-def warc_to_media(spark: SparkSession, path: str) -> DataFrame:
+def warc_to_media(spark: SparkSession, src: str | DataFrame) -> DataFrame:
     """WARC archive(s) → the MEDIA table shape: HTTP-200 responses whose
     content type is image/*, audio/* or video/* become (media_ref =
     target URI, kind, payload) rows — the input the codec/feature stage
@@ -353,7 +438,7 @@ def warc_to_media(spark: SparkSession, path: str) -> DataFrame:
     for prefix, k in _MEDIA_KINDS:
         kind = F.when(ctype.startswith(prefix), F.lit(k)).otherwise(kind)
     return (
-        read_warc(spark, path)
+        _records(spark, src)
         .filter((F.col("warc_type") == "response") & (F.col("http_status") == 200))
         .withColumn("kind", kind)
         .filter(F.col("kind").isNotNull())

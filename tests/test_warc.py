@@ -292,3 +292,114 @@ def test_warc_to_media_feeds_codec_feature_stage(spark, tmp_path):
     assert [r["media_ref"] for r in rows] == ["http://m/logo.png"]
     feats = decode_features(media).collect()
     assert feats[0]["mean"] == float(luma.mean())
+
+
+# ------------------- review-finding regressions ----------------------
+
+
+def test_http_chunked_and_gzip_bodies_decoded():
+    """Content-Encoding: gzip and Transfer-Encoding: chunked payloads
+    must be reassembled/inflated — raw pass-through poisons downstream
+    documents with binary mojibake."""
+    import gzip as _gz
+
+    from ecc_spark.warc import _parse_http_response
+
+    html = b"<p>hello compressed world</p>"
+    gz_body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + _gz.compress(html)
+    )
+    assert _parse_http_response(gz_body)[2] == html
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\n<p>he\r\n18;ext=1\r\nllo compressed world</p>\r\n0\r\n\r\n"
+    )
+    status, ctype, payload = _parse_http_response(chunked)
+    assert (status, payload) == (200, html)
+    # lying headers degrade to raw bytes, never raise
+    lying = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip-at-all"
+    )
+    assert _parse_http_response(lying)[2] == b"not-gzip-at-all"
+
+
+def test_warc_declared_charset_respected(spark, tmp_path):
+    """charset=shift_jis in Content-Type must drive the decode — the
+    utf-8/latin-1 fallback alone turns legacy pages into mojibake."""
+    from ecc_spark.warc import encode_warc, warc_to_documents
+
+    text = "日本語のページ"
+    body = f"<p>{text}</p>".encode("shift_jis")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n\r\n"
+        + body
+    )
+    recs = [({"WARC-Type": "response", "WARC-Target-URI": "http://jp/1",
+              "WARC-Record-ID": "<urn:1>"}, http)]
+    (tmp_path / "jp.warc").write_bytes(encode_warc(recs))
+    rows = warc_to_documents(spark, str(tmp_path)).collect()
+    assert rows[0]["spans"][0]["text"] == text
+
+
+def test_warc_bad_file_contained_not_fatal(spark, tmp_path):
+    """One truncated segment must not abort the others: the bad file
+    yields a visible parse_error row; healthy files parse fully; the
+    documents extractor drops the error row naturally."""
+    from ecc_spark.warc import encode_warc, read_warc, warc_to_documents
+
+    def resp(uri):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+        return ({"WARC-Type": "response", "WARC-Target-URI": uri,
+                 "WARC-Record-ID": f"<urn:{uri}>"}, http)
+
+    good = encode_warc([resp("http://ok/1"), resp("http://ok/2")])
+    (tmp_path / "good.warc").write_bytes(good)
+    # cut INSIDE record 2's body (10 bytes shy of its end) — a halfway
+    # cut can land exactly on a record boundary and parse cleanly
+    (tmp_path / "bad.warc").write_bytes(good[: len(good) - 10])
+    records = read_warc(spark, str(tmp_path)).collect()
+    errs = [r for r in records if r["warc_type"] == "parse_error"]
+    assert len(errs) == 1 and errs[0]["path"].endswith("bad.warc")
+    assert errs[0]["rec_i"] == -1 and b"truncated" in bytes(errs[0]["body"])
+    oks = [r for r in records if r["warc_type"] == "response"]
+    assert len(oks) >= 2  # both good-file records + any pre-error partials
+    docs = warc_to_documents(spark, str(tmp_path))
+    assert {r["doc_id"] for r in docs.collect()} >= {"http://ok/1", "http://ok/2"}
+
+
+def test_empty_media_payload_does_not_crash_feature_stage(spark):
+    """A zero-byte payload (Content-Length: 0 responses exist) must
+    yield a zero plane, not ZeroDivisionError inside mapInPandas."""
+    from ecc_spark.ops.multimodal import decode_features
+    from ecc_spark.schemas import MEDIA
+
+    media = spark.createDataFrame(
+        [{"media_ref": "empty.bin", "kind": "image", "payload": b"",
+          "width": 4, "height": 4, "duration_ms": None}],
+        schema=MEDIA,
+    )
+    feats = decode_features(media).collect()
+    assert feats[0]["mean"] == 0.0
+
+
+def test_zcr_zero_samples_transparent():
+    """-1, 0, -1 crosses nothing; -1, 0, 1 crosses once — zeros are
+    transparent, not pinned to +1."""
+    import numpy as np
+
+    from ecc_spark.ops.multimodal import audio_dsp_features
+
+    no_cross = np.array([[127, 128, 127, 128, 127]], dtype=np.uint8)
+    assert audio_dsp_features(no_cross)[1] == 0.0
+    one_cross = np.array([[127, 128, 129]], dtype=np.uint8)  # -1, 0, +1
+    assert audio_dsp_features(one_cross)[1] == 1 / 2
+
+
+def test_html_no_leading_space_from_empty_block():
+    from ecc_spark.warc import html_to_spans
+
+    spans = html_to_spans("<div></div>Hello")
+    assert spans[0]["text"] == "Hello"
+    assert spans[0]["offset"] == 0
