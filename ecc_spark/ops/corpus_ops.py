@@ -574,6 +574,57 @@ def lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     return bigram_lm_scores(load(spark, sf, "documents"))
 
 
+# -- sliding-window chunking (long-doc splitting / RAG prep) ----------
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split every document into overlapping token windows:
+    (doc_id, chunk_i, start_tok, n_tokens, chunk_text). Chunk k covers
+    tokens [k·stride, k·stride + window); the last window is short
+    rather than padded; every token lands in at least one chunk
+    (stride <= window enforced). The long-document half of sequence
+    preparation — pack_sequences is the short-document half.
+
+    Scale shape: one narrow pass — split, F.sequence of starts,
+    transform → posexplode. No UDF, no shuffle; chunking is row-local
+    so it composes with any upstream partitioning. Chunk fan-out per
+    doc is ceil(n/stride), bounded by document length.
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window (got {stride}, {window})")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.lit(0), F.col("n") - 1), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            st.alias("start_tok"),
+            F.least(F.lit(window), F.col("n") - st).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("t", st + 1, window)).alias("chunk_text"),
+        ),
+    )
+    return (
+        toks.filter(F.col("n") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_i", "c"))
+        .select(
+            "doc_id",
+            "chunk_i",
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    return chunk_documents(load(spark, sf, "documents"))
+
+
 QUERIES.update(
     {
         "bm25_topk": bm25_topk,
@@ -589,6 +640,7 @@ QUERIES.update(
         # exactness is pinned by the pure-python mirror in
         # tests/test_corpus_ops.py instead
         "lm_perplexity": lm_perplexity,
+        "doc_chunks": doc_chunks,
     }
 )
 ORACLES.update(

@@ -239,3 +239,43 @@ def test_lm_perplexity_orders_natural_below_gibberish(spark):
     )
     got = {r["doc_id"]: r["ppl"] for r in bigram_lm_scores(df).collect()}
     assert got[100] < got[101]
+
+
+def test_chunk_documents_matches_pure_python(spark):
+    """Sliding-window chunking vs an independent mirror on real docs:
+    identical (doc, chunk, start, n, text) sets; every token covered;
+    consecutive chunks overlap by window - stride."""
+    from ecc_spark.ops.corpus_ops import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    window, stride = 10, 7
+    want = set()
+    for d, text in rows:
+        t = text.split(" ")
+        if not t:
+            continue
+        for k, st in enumerate(range(0, len(t), stride)):
+            w = t[st : st + window]
+            want.add((d, k, st, len(w), " ".join(w)))
+    got = {
+        (r["doc_id"], r["chunk_i"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, window=window, stride=stride).collect()
+    }
+    assert got == want
+    # coverage: each doc's chunks span every token index
+    per_doc: dict = {}
+    for d, _k, st, n, _c in got:
+        per_doc.setdefault(d, set()).update(range(st, st + n))
+    for d, text in rows:
+        assert per_doc[d] == set(range(len(text.split(" ")))), d
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    import pytest
+
+    from ecc_spark.ops.corpus_ops import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=5)  # would skip tokens
