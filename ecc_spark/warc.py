@@ -451,3 +451,70 @@ def warc_to_media(spark: SparkSession, src: str | DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         )
     )
+
+
+def export_warc(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "uri",
+    body_col: str = "body",
+    content_type: str = "text/html",
+    warc_type: str = "resource",
+) -> DataFrame:
+    """Archive a (uri, body) frame as WARC: one ``part-<pid>.warc.gz``
+    per partition (record-at-a-time gzip members — the layout real
+    archive tooling expects), written from the executors. Returns the
+    manifest (path, n_records, n_bytes) — an ACTION must consume it for
+    the write to happen, mirroring how Spark's own writers behave.
+
+    The inverse of read_warc (a crawl can archive what it fetched and
+    re-ingest it later); round-trip equality is pinned in tests.
+    ``out_dir`` must be a filesystem every executor can reach (local
+    dir in local mode, a shared mount on a cluster; an object store
+    needs a Hadoop-FS writer instead — documented seam, same status as
+    the Iceberg binding)."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
+        n_bytes = 0
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as fh:
+            for pdf in it:
+                for r in pdf.itertuples(index=False):
+                    body = getattr(r, body_col)
+                    body = body.encode("utf-8") if isinstance(body, str) else bytes(body)
+                    rec = encode_warc(
+                        [(
+                            {
+                                "WARC-Type": warc_type,
+                                "WARC-Target-URI": getattr(r, uri_col),
+                                "WARC-Record-ID": f"<urn:ecc:{pid}:{n}>",
+                                "Content-Type": content_type,
+                            },
+                            body,
+                        )],
+                        compress=True,
+                    )
+                    fh.write(rec)
+                    n += 1
+                    n_bytes += len(rec)
+        if n:
+            os.replace(tmp, path)  # publish only non-empty, complete parts
+        else:
+            os.remove(tmp)
+        yield pd.DataFrame(
+            [{"path": path, "n_records": n, "n_bytes": n_bytes}]
+            if n
+            else [],
+            columns=["path", "n_records", "n_bytes"],
+        )
+
+    cols = df.select(uri_col, body_col)
+    return cols.mapInPandas(write, schema="path string, n_records long, n_bytes long")

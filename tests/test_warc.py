@@ -403,3 +403,48 @@ def test_html_no_leading_space_from_empty_block():
     spans = html_to_spans("<div></div>Hello")
     assert spans[0]["text"] == "Hello"
     assert spans[0]["offset"] == 0
+
+
+def test_export_warc_roundtrip(spark, tmp_path):
+    """export_warc -> read_warc inverse: every (uri, body) survives;
+    parts are per-partition .warc.gz files with gzip members; empty
+    partitions publish no file."""
+    from ecc_spark.warc import export_warc, read_warc
+
+    rows = [(f"http://e/{i}", f"<p>page {i} body</p>") for i in range(37)]
+    df = spark.createDataFrame(rows, "uri string, body string").repartition(8)
+    out = str(tmp_path / "arch")
+    manifest = export_warc(df, out).collect()
+    assert sum(m["n_records"] for m in manifest) == 37
+    import os
+
+    assert all(os.path.basename(m["path"]).endswith(".warc.gz") for m in manifest)
+    assert not any(p.endswith(".inprogress") for p in os.listdir(out))
+    back = read_warc(spark, out)
+    got = {
+        (r["target_uri"], bytes(r["body"]).decode())
+        for r in back.filter("warc_type = 'resource'").collect()
+    }
+    assert got == {(u, b) for u, b in rows}
+
+
+def test_export_warc_then_documents(spark, tmp_path):
+    """The full loop: archive pages, re-ingest as DOCUMENTS via the
+    HTML extractor (export as 'response' records with an HTTP envelope
+    so warc_to_documents' content-type filter accepts them)."""
+    from ecc_spark.warc import export_warc, warc_to_documents
+
+    pages = [
+        ("http://loop/1", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                          "<p>alpha <a href='B'>beta</a></p>"),
+        ("http://loop/2", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                          "<p>gamma</p>"),
+    ]
+    df = spark.createDataFrame(pages, "uri string, body string")
+    out = str(tmp_path / "arch2")
+    export_warc(df, out, content_type="application/http; msgtype=response",
+                warc_type="response").collect()
+    docs = {r["doc_id"]: r for r in warc_to_documents(spark, out).collect()}
+    assert set(docs) == {"http://loop/1", "http://loop/2"}
+    kinds = [s["kind"] for s in docs["http://loop/1"]["spans"]]
+    assert kinds == ["text", "link"]
