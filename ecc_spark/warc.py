@@ -238,6 +238,10 @@ def encode_warc(
 from html.parser import HTMLParser  # noqa: E402 (stdlib, tolerant of tag soup)
 
 _SKIP_TAGS = {"script", "style", "noscript", "template"}
+# chrome/boilerplate subtrees a TRAINING corpus usually drops (nav bars,
+# cookie banners, footers repeat across a site and poison dedup + LM
+# stats); opt-in because mention extraction may legitimately want them
+BOILERPLATE_TAGS = frozenset({"nav", "footer", "aside", "header", "form", "button"})
 _BLOCK_TAGS = {
     "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
     "tr", "td", "th", "table", "section", "article", "header", "footer",
@@ -252,8 +256,9 @@ class _SpanExtractor(HTMLParser):
     Whitespace collapses to single spaces; block boundaries separate
     words; script/style subtrees vanish."""
 
-    def __init__(self) -> None:
+    def __init__(self, skip_tags: frozenset[str] | set[str] = _SKIP_TAGS) -> None:
         super().__init__(convert_charrefs=True)
+        self._skip_tags = set(skip_tags)
         self.spans: list[dict] = []
         self.plain_len = 0
         self._skip = 0
@@ -296,7 +301,7 @@ class _SpanExtractor(HTMLParser):
         self._pending_ws = trail_ws
 
     def handle_starttag(self, tag, attrs):
-        if tag in _SKIP_TAGS:
+        if tag in self._skip_tags:
             self._skip += 1
             return
         if self._skip:
@@ -319,7 +324,7 @@ class _SpanExtractor(HTMLParser):
                 )
 
     def handle_endtag(self, tag):
-        if tag in _SKIP_TAGS:
+        if tag in self._skip_tags:
             self._skip = max(0, self._skip - 1)
             return
         if self._skip:
@@ -352,12 +357,16 @@ class _SpanExtractor(HTMLParser):
         self._emit_text(data)
 
 
-def html_to_spans(markup: str) -> list[dict]:
+def html_to_spans(markup: str, drop_boilerplate: bool = False) -> list[dict]:
     """HTML → interleaved (kind, text, media_ref, offset) spans. The
     invariant the rest of the engine relies on: concatenating text-span
     texts and link-span shown texts in order reproduces the plain text,
-    and every span's offset is its position in that plain text."""
-    p = _SpanExtractor()
+    and every span's offset is its position in that plain text.
+    ``drop_boilerplate`` additionally removes nav/footer/aside/header/
+    form subtrees — site chrome that repeats across pages and poisons
+    dedup and LM statistics in a training corpus."""
+    skip = _SKIP_TAGS | BOILERPLATE_TAGS if drop_boilerplate else _SKIP_TAGS
+    p = _SpanExtractor(skip)
     p.feed(markup)
     p.close()
     return p.spans
@@ -385,7 +394,9 @@ def _decode_body(raw: bytes, content_type: str | None) -> str:
         return raw.decode("latin-1")
 
 
-def warc_to_documents(spark: SparkSession, src: str | DataFrame) -> DataFrame:
+def warc_to_documents(
+    spark: SparkSession, src: str | DataFrame, drop_boilerplate: bool = False
+) -> DataFrame:
     """WARC archive(s) (path, or a read_warc frame to reuse) → the
     DOCUMENTS table shape (doc_id = target URI, spans = interleaved
     text/link/media): HTTP-200 HTML responses only, decoded by the
@@ -408,7 +419,7 @@ def warc_to_documents(spark: SparkSession, src: str | DataFrame) -> DataFrame:
                     {
                         "doc_id": r.target_uri,
                         "redirect": None,
-                        "spans": html_to_spans(markup),
+                        "spans": html_to_spans(markup, drop_boilerplate),
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "redirect", "spans"])

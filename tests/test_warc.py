@@ -448,3 +448,28 @@ def test_export_warc_then_documents(spark, tmp_path):
     assert set(docs) == {"http://loop/1", "http://loop/2"}
     kinds = [s["kind"] for s in docs["http://loop/1"]["spans"]]
     assert kinds == ["text", "link"]
+
+
+def test_html_boilerplate_dropping():
+    """drop_boilerplate removes site chrome subtrees (nav/footer/...)
+    while the default keeps them; offsets stay consistent either way."""
+    from ecc_spark.warc import html_to_spans
+
+    html = (
+        "<nav>Home | About | <a href='x'>Login</a></nav>"
+        "<p>The actual article text.</p>"
+        "<footer>© 2026 chrome footer</footer>"
+    )
+    kept = html_to_spans(html)
+    plain_kept = "".join(
+        s["text"] for s in kept if s["kind"] in ("text", "link")
+    )
+    assert "Home" in plain_kept and "chrome footer" in plain_kept
+    dropped = html_to_spans(html, drop_boilerplate=True)
+    plain = ""
+    for s in dropped:
+        assert s["offset"] == len(plain)
+        if s["kind"] in ("text", "link"):
+            plain += s["text"]
+    assert plain == "The actual article text."
+    assert not [s for s in dropped if s["kind"] == "link"]  # nav link gone
