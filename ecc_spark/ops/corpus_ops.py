@@ -493,19 +493,23 @@ def bigram_lm_scores(docs: DataFrame, k: float = 0.5) -> DataFrame:
     V = corpus vocabulary size; xent = -mean log2 P over the doc's
     bigrams; ppl = 2^xent. Output: (doc_id, n_bigrams, xent, ppl).
 
-    Scale shape (100 TB lens):
-    - tokenize + bigram explode: one narrow pass, no UDF (split +
-      arrays_zip of two slices).
-    - LM tables: two hash-aggs with map-side combine — the shuffle
-      carries (w1[, w2], partial_count), never text. C(w1) joins onto
-      the bigram table agg-to-agg (both already reduced), NOT onto the
-      per-occurrence stream, so the hot-unigram skew ("the", "of")
-      lands on a table bounded by distinct-bigram count.
+    Scale shape (100 TB lens): the corpus is tokenized and shuffled
+    EXACTLY ONCE — everything else derives from successive aggregates:
+    - raw bigram stream → doc_big = (doc_id, w1, w2, n): the only
+      corpus-wide shuffle, keyed by (doc, w1, w2) so no key is hotter
+      than one document's repetition of one bigram.
+    - doc_big is the persisted frame (bounded by DISTINCT doc-bigrams,
+      strictly smaller than the occurrence stream it replaces; spills
+      to disk; dedup.py's shared janitor frees the previous call's
+      frames since callers get no unpersist handle).
+    - lm = Σ_doc doc_big (agg of an agg), C(w1) = Σ_w2 lm (agg of an
+      agg), V = distinct tokens of lm — hot-unigram skew ("the", "of")
+      only ever touches tables already reduced to distinct bigrams.
     - V reduces to ONE row, broadcast back over the scoring join (same
       pattern as bm25_topk's corpus stats).
-    - scoring: per-doc DISTINCT bigram counts join the LM on (w1, w2) —
-      hot bigrams are spread by the second key; residual skew is AQE
-      skew-join territory, same story as skewed_join_agg.
+    - scoring: doc_big joins lm on (w1, w2) — hot bigrams are spread by
+      the second key; residual skew is AQE skew-join territory, same
+      story as skewed_join_agg.
     """
     from ecc_spark.ops.dedup import _PERSISTED, _drain_persisted
     from pyspark import StorageLevel
@@ -529,26 +533,22 @@ def bigram_lm_scores(docs: DataFrame, k: float = 0.5) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    # four consumers (uni, lm, vocab via toks, doc_big) would otherwise
-    # each re-tokenize the full corpus scan — persist the bigram stream
-    # once (spills to disk at scale; dedup.py's shared janitor frees the
-    # previous call's frames since callers get no unpersist handle)
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
     _drain_persisted()
-    big = big.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(big)
-    uni = big.groupBy("w1").agg(F.count("*").alias("c1"))
-    lm = big.groupBy("w1", "w2").agg(F.count("*").alias("c12")).join(uni, "w1")
-    # vocabulary from the persisted bigram stream (w1 plus each doc's
-    # final w2), not from toks — avoids a fourth full corpus scan; a
-    # single-token doc contributes no bigram and its token cannot affect
-    # any bigram's probability, so dropping it from V only perturbs the
-    # smoothing constant by the rarest possible margin
+    doc_big = doc_big.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(doc_big)
+    lm = doc_big.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lm = lm.join(uni, "w1")
+    # vocabulary from the reduced bigram table (w1 ∪ w2), not from toks
+    # — a single-token doc contributes no bigram and its token cannot
+    # affect any bigram's probability, so dropping it from V only
+    # perturbs the smoothing constant by the rarest possible margin
     vocab = (
-        big.select(F.col("w1").alias("w"))
-        .union(big.select(F.col("w2").alias("w")))
+        lm.select(F.col("w1").alias("w"))
+        .union(lm.select(F.col("w2").alias("w")))
         .agg(F.countDistinct("w").alias("v"))
     )
-    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
     return (
         doc_big.join(lm, ["w1", "w2"])
         .join(F.broadcast(vocab))
