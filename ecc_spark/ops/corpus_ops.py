@@ -537,7 +537,15 @@ def bigram_lm_scores(docs: DataFrame, k: float = 0.5) -> DataFrame:
     _drain_persisted()
     doc_big = doc_big.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(doc_big)
-    lm = doc_big.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    # lm has three consumers (uni, vocab ×2 via the union, scoring
+    # join) — persist it too, or each re-runs the (w1, w2) aggregation
+    # over the cached doc-bigram table
+    lm = (
+        doc_big.groupBy("w1", "w2")
+        .agg(F.sum("n").alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(lm)
     uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lm = lm.join(uni, "w1")
     # vocabulary from the reduced bigram table (w1 ∪ w2), not from toks
@@ -587,15 +595,22 @@ def chunk_documents(
     (stride <= window enforced). The long-document half of sequence
     preparation — pack_sequences is the short-document half.
 
-    Scale shape: one narrow pass — split, F.sequence of starts,
-    transform → posexplode. No UDF, no shuffle; chunking is row-local
-    so it composes with any upstream partitioning. Chunk fan-out per
-    doc is ceil(n/stride), bounded by document length.
+    Tokenization is pack_sequences' _TOK_RE (the two are the two
+    halves of one sequence preparation — their start_tok coordinates
+    must agree on the same document), which also means newlines/tab
+    runs never glue words into one "token" the way a literal-space
+    split would.
+
+    Scale shape: one narrow pass — regexp token extract, F.sequence of
+    starts, transform → posexplode. No UDF, no shuffle; chunking is
+    row-local so it composes with any upstream partitioning. Chunk
+    fan-out per doc is ceil(n/stride), bounded by document length.
     """
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window (got {stride}, {window})")
     toks = docs.select(
-        "doc_id", F.split("text", " ").alias("t")
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RE), 0).alias("t"),
     ).withColumn("n", F.size("t"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.lit(0), F.col("n") - 1), F.lit(stride)

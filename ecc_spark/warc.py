@@ -223,7 +223,11 @@ def encode_warc(
         for k, v in hdr.items():
             if k.lower() == "content-length":
                 continue  # always derived from the body
-            rec += f"{k}: {v}\r\n".encode("latin-1")
+            if "\r" in f"{k}{v}" or "\n" in f"{k}{v}":
+                # a CR/LF smuggled into a header value would shift the
+                # header/body boundary and corrupt the record framing
+                raise ValueError(f"CR/LF in WARC header {k!r}")
+            rec += f"{k}: {v}\r\n".encode("utf-8")
         rec += f"Content-Length: {len(body)}\r\n".encode()
         rec += b"\r\n" + body + b"\r\n\r\n"
         out += gzip.compress(bytes(rec)) if compress else rec
@@ -302,6 +306,11 @@ class _SpanExtractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag in self._skip_tags:
+            if self._skip == 0 and self.plain_len > 0:
+                # a dropped subtree is a block boundary: 'Intro<aside>
+                # ad</aside>Outro' must not glue Intro/Outro into one
+                # token just because the separator-bearing tags vanished
+                self._pending_ws = True
             self._skip += 1
             return
         if self._skip:
@@ -471,6 +480,7 @@ def export_warc(
     body_col: str = "body",
     content_type: str = "text/html",
     warc_type: str = "resource",
+    overwrite: bool = False,
 ) -> DataFrame:
     """Archive a (uri, body) frame as WARC: one ``part-<pid>.warc.gz``
     per partition (record-at-a-time gzip members — the layout real
@@ -483,29 +493,57 @@ def export_warc(
     ``out_dir`` must be a filesystem every executor can reach (local
     dir in local mode, a shared mount on a cluster; an object store
     needs a Hadoop-FS writer instead — documented seam, same status as
-    the Iceberg binding)."""
+    the Iceberg binding). A non-empty out_dir is refused unless
+    ``overwrite=True`` clears previous parts first — stale parts would
+    otherwise be silently re-ingested by the next read_warc, breaking
+    the inverse contract. Rows with a null body are skipped and counted
+    in the manifest's ``n_null_skipped`` (a failed fetch must not abort
+    the archive of every successful one); CR/LF in a URI is
+    percent-encoded so a crawled href can never corrupt record framing.
+    Temp files are task-ATTEMPT-scoped: under speculative execution two
+    attempts of one partition write distinct files and the publish
+    rename keeps whichever completes."""
     import os
 
     from pyspark import TaskContext
 
     os.makedirs(out_dir, exist_ok=True)
+    stale = [
+        f for f in os.listdir(out_dir)
+        if f.endswith((".warc.gz", ".warc", ".inprogress"))
+    ]
+    if stale:
+        if not overwrite:
+            raise ValueError(
+                f"out_dir {out_dir!r} already holds {len(stale)} WARC part(s); "
+                "pass overwrite=True to replace them"
+            )
+        for f in stale:
+            os.remove(os.path.join(out_dir, f))
 
     def write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
         n = 0
         n_bytes = 0
-        tmp = path + ".inprogress"
+        n_null = 0
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.inprogress"
         with open(tmp, "wb") as fh:
             for pdf in it:
-                for r in pdf.itertuples(index=False):
-                    body = getattr(r, body_col)
+                for uri, body in zip(pdf[uri_col], pdf[body_col]):
+                    if body is None or uri is None:
+                        n_null += 1
+                        continue
                     body = body.encode("utf-8") if isinstance(body, str) else bytes(body)
+                    safe_uri = (
+                        str(uri).replace("\r", "%0D").replace("\n", "%0A")
+                    )
                     rec = encode_warc(
                         [(
                             {
                                 "WARC-Type": warc_type,
-                                "WARC-Target-URI": getattr(r, uri_col),
+                                "WARC-Target-URI": safe_uri,
                                 "WARC-Record-ID": f"<urn:ecc:{pid}:{n}>",
                                 "Content-Type": content_type,
                             },
@@ -521,11 +559,15 @@ def export_warc(
         else:
             os.remove(tmp)
         yield pd.DataFrame(
-            [{"path": path, "n_records": n, "n_bytes": n_bytes}]
-            if n
+            [{"path": path, "n_records": n, "n_bytes": n_bytes,
+              "n_null_skipped": n_null}]
+            if n or n_null
             else [],
-            columns=["path", "n_records", "n_bytes"],
+            columns=["path", "n_records", "n_bytes", "n_null_skipped"],
         )
 
     cols = df.select(uri_col, body_col)
-    return cols.mapInPandas(write, schema="path string, n_records long, n_bytes long")
+    return cols.mapInPandas(
+        write,
+        schema="path string, n_records long, n_bytes long, n_null_skipped long",
+    )

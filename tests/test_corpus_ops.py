@@ -249,10 +249,13 @@ def test_chunk_documents_matches_pure_python(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
     rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    import re as _re
+
     window, stride = 10, 7
+    tok_re = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
     want = set()
     for d, text in rows:
-        t = text.split(" ")
+        t = tok_re.findall(text.lower())
         if not t:
             continue
         for k, st in enumerate(range(0, len(t), stride)):
@@ -268,7 +271,7 @@ def test_chunk_documents_matches_pure_python(spark):
     for d, _k, st, n, _c in got:
         per_doc.setdefault(d, set()).update(range(st, st + n))
     for d, text in rows:
-        assert per_doc[d] == set(range(len(text.split(" ")))), d
+        assert per_doc[d] == set(range(len(tok_re.findall(text.lower())))), d
 
 
 def test_chunk_documents_rejects_gapping_stride(spark):

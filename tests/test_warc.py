@@ -473,3 +473,56 @@ def test_html_boilerplate_dropping():
             plain += s["text"]
     assert plain == "The actual article text."
     assert not [s for s in dropped if s["kind"] == "link"]  # nav link gone
+
+
+def test_boilerplate_drop_keeps_word_boundary():
+    """'Intro<aside>ad</aside>Outro' must not glue Intro/Outro — a
+    dropped subtree is a block boundary even in minified HTML with no
+    adjacent separator-bearing tags."""
+    from ecc_spark.warc import html_to_spans
+
+    spans = html_to_spans(
+        "Intro<aside>ad here</aside>Outro", drop_boilerplate=True
+    )
+    plain = "".join(s["text"] for s in spans if s["kind"] in ("text", "link"))
+    assert plain == "Intro Outro"
+    for s in spans:
+        assert s["offset"] <= len(plain)
+
+
+def test_export_warc_refuses_stale_parts_and_skips_null_bodies(spark, tmp_path):
+    import pytest
+
+    from ecc_spark.warc import export_warc, read_warc
+
+    out = str(tmp_path / "a")
+    df1 = spark.createDataFrame(
+        [("http://x/1", "<p>a</p>"), ("http://x/2", None),
+         ("http://x/evil\r\ninjected", "<p>b</p>")],
+        "uri string, body string",
+    )
+    manifest = export_warc(df1, out).collect()
+    assert sum(m["n_null_skipped"] for m in manifest) == 1
+    assert sum(m["n_records"] for m in manifest) == 2
+    back = read_warc(spark, out).filter("warc_type = 'resource'").collect()
+    # CR/LF percent-encoded: framing intact, no parse_error rows
+    uris = {r["target_uri"] for r in back}
+    assert uris == {"http://x/1", "http://x/evil%0D%0Ainjected"}
+    # stale parts refused without overwrite, replaced with it
+    df2 = spark.createDataFrame([("http://y/9", "<p>new</p>")], "uri string, body string")
+    with pytest.raises(Exception, match="overwrite"):
+        export_warc(df2, out).collect()
+    export_warc(df2, out, overwrite=True).collect()
+    got = {r["target_uri"] for r in
+           read_warc(spark, out).filter("warc_type = 'resource'").collect()}
+    assert got == {"http://y/9"}  # old parts really gone
+
+
+def test_encode_warc_rejects_header_crlf():
+    import pytest
+
+    from ecc_spark.warc import encode_warc
+
+    with pytest.raises(ValueError, match="CR/LF"):
+        encode_warc([({"WARC-Type": "resource",
+                       "WARC-Target-URI": "http://a\r\nWARC-Type: fake"}, b"x")])
