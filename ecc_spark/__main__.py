@@ -192,6 +192,7 @@ def cmd_crawl(args) -> int:
         host_budgets=host_budgets, host_budget=args.host_budget,
         n_salts=args.n_salts, max_depth=args.max_depth,
         failure_permille=args.failure_permille, resume=args.resume,
+        archive_dir=args.archive_warc,
     )
     if not args.resume:
         if args.seed_sitemaps:

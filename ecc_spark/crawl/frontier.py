@@ -112,9 +112,16 @@ class CrawlEngine:
         n_buckets: int = 16,
         failure_permille: int = 0,
         resume: bool = False,
+        archive_dir: str | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
+        # when set, each wave's fetched markup is archived as WARC parts
+        # under archive_dir/wave=N — exported AFTER the staging write,
+        # off the wave's disk snapshot, so retries cannot double-archive.
+        # None (the default) keeps page content executor-side and the
+        # wave plan byte-identical to the unarchived engine.
+        self.archive_dir = archive_dir
         if robots_txt is not None and robots is not None:
             raise ValueError("pass robots (pre-parsed rules) OR robots_txt (raw bodies), not both")
         self.robots = robots
@@ -330,11 +337,12 @@ class CrawlEngine:
             .drop("_off")
         )
 
+        keep_markup = self.archive_dir is not None
         out_schema = (
             "url string, url_hash long, host string, priority double, "
             "depth int, order_key long, outlinks array<string>, n_spans int, "
             "ok boolean"
-        )
+        ) + (", markup string" if keep_markup else "")
         wave = self.next_wave
         failure_permille = self.failure_permille
 
@@ -345,32 +353,38 @@ class CrawlEngine:
             for pdf in it:
                 if not len(pdf):
                     continue
-                outlinks, nspans, oks = [], [], []
+                outlinks, nspans, oks, markups = [], [], [], []
                 for u in pdf["url"]:
                     ok = fetch_ok(u, wave, failure_permille)
                     oks.append(ok)
                     if not ok:  # transient failure: no content, no links
                         outlinks.append([])
                         nspans.append(0)
+                        markups.append(None)
                         continue
-                    spans = parse_markup(simulate_fetch(u))
+                    markup = simulate_fetch(u)
+                    spans = parse_markup(markup)
                     outlinks.append(
                         [s["media_ref"] for s in spans if s["kind"] == "link"]
                     )
                     nspans.append(len(spans))
-                yield pd.DataFrame(
-                    {
-                        "url": pdf["url"].to_numpy(),
-                        "url_hash": pdf["url_hash"].to_numpy(),
-                        "host": pdf["host"].to_numpy(),
-                        "priority": pdf["priority"].to_numpy(),
-                        "depth": pdf["depth"].to_numpy(),
-                        "order_key": pdf["order_key"].to_numpy(),
-                        "outlinks": outlinks,
-                        "n_spans": nspans,
-                        "ok": oks,
-                    }
-                )
+                    # content crosses Arrow ONLY when archiving asked for
+                    # it (~6 KB/row the plan otherwise never carries)
+                    markups.append(markup if keep_markup else None)
+                cols = {
+                    "url": pdf["url"].to_numpy(),
+                    "url_hash": pdf["url_hash"].to_numpy(),
+                    "host": pdf["host"].to_numpy(),
+                    "priority": pdf["priority"].to_numpy(),
+                    "depth": pdf["depth"].to_numpy(),
+                    "order_key": pdf["order_key"].to_numpy(),
+                    "outlinks": outlinks,
+                    "n_spans": nspans,
+                    "ok": oks,
+                }
+                if keep_markup:
+                    cols["markup"] = markups
+                yield pd.DataFrame(cols)
 
         # repartition on url_hash, NOT _b: a repartition on _b with the
         # same count as the window's exchange is optimizer-removed as
@@ -460,6 +474,24 @@ class CrawlEngine:
                 )
                 .collect()
             )
+        if self.archive_dir is not None:
+            # archive what was fetched: WARC parts from the wave's DISK
+            # snapshot (exactly-once — a task retry re-reads the same
+            # staged rows; overwrite=True makes a resumed wave replace
+            # its own partial parts). Downstream drops the content
+            # column, so the rest of the loop is identical to the
+            # unarchived engine.
+            from ecc_spark.warc import export_warc
+
+            export_warc(
+                fetched.filter(F.col("ok")).select("url", "markup"),
+                os.path.join(self.archive_dir, f"wave={wave}"),
+                uri_col="url",
+                body_col="markup",
+                content_type="text/x-wiki",
+                overwrite=True,
+            ).collect()
+            fetched = fetched.drop("markup")
         n_scheduled = sum(r["scheduled"] for r in runlog_rows)
         n_fetched = int(sum(r["fetched"] or 0 for r in runlog_rows))
         extracted = int(sum(r["extracted"] for r in runlog_rows))

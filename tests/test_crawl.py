@@ -605,3 +605,41 @@ def test_manifest_publish_interleaved_competitor_not_lost(spark, tmp_path):
     assert 98 in ids and 99 in ids, ids  # both survive
     assert fired["n"] == 1  # retried via re-apply, not a fresh race
     assert ids == [s["id"] for s in t._manifest()["snapshots"]]
+
+
+def test_crawl_archives_fetched_pages_as_warc(spark, tmp_path, crawl_setup):
+    """archive_dir: every successfully fetched page lands in the wave's
+    WARC parts with its exact simulated content; the crawl's own outputs
+    (seen set, metrics) are identical to an unarchived run."""
+    from ecc_spark.crawl.fetchsim import simulate_fetch
+    from ecc_spark.crawl.frontier import CrawlEngine
+    from ecc_spark.warc import read_warc
+
+    seeds = [f"https://host{i}.example.com/wiki/Seed_{i}" for i in range(6)]
+    seeds_df = spark.createDataFrame([(u,) for u in seeds], schema="url string")
+    arch = str(tmp_path / "archive")
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wd"), host_budget=50, n_salts=4,
+        max_depth=2, archive_dir=arch,
+    )
+    eng.seed(seeds_df)
+    m1 = eng.run_wave()
+    m2 = eng.run_wave()
+    eng2 = CrawlEngine(
+        spark, str(tmp_path / "wd2"), host_budget=50, n_salts=4, max_depth=2,
+    )
+    eng2.seed(seeds_df)
+    p1 = eng2.run_wave()
+    p2 = eng2.run_wave()
+    assert (m1.fetched, m2.fetched) == (p1.fetched, p2.fetched)
+    got = {}
+    for wave in (0, 1):
+        rows = read_warc(spark, f"{arch}/wave={wave}").filter(
+            "warc_type = 'resource'"
+        ).collect()
+        got[wave] = {r["target_uri"]: bytes(r["body"]).decode() for r in rows}
+    assert len(got[0]) == m1.fetched and len(got[1]) == m2.fetched
+    # archived bodies are the exact fetched content
+    for uris in got.values():
+        for u, body in list(uris.items())[:5]:
+            assert body == simulate_fetch(u), u
