@@ -643,3 +643,18 @@ def test_crawl_archives_fetched_pages_as_warc(spark, tmp_path, crawl_setup):
     for uris in got.values():
         for u, body in list(uris.items())[:5]:
             assert body == simulate_fetch(u), u
+    # and the archive RE-INGESTS: wave-0 markup through the real ingest
+    # parser reproduces the crawl's own extraction count exactly
+    from ecc_spark.ingest import ingest_markup
+
+    arch_docs = spark.createDataFrame(
+        [(u, None, b) for u, b in got[0].items()],
+        schema="doc_id string, redirect string, markup string",
+    )
+    n_spans = (
+        ingest_markup(arch_docs)
+        .select(F.size("spans").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert n_spans == m1.extracted
