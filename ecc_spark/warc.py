@@ -322,7 +322,7 @@ class _SpanExtractor(HTMLParser):
             if self._href is None and href:
                 self._href = href
                 self._anchor = []
-        elif tag == "img":
+        elif tag in ("img", "video", "audio", "source", "embed"):
             src = dict(attrs).get("src")
             if src:
                 # media contributes no plain text, so a pending word

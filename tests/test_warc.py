@@ -526,3 +526,18 @@ def test_encode_warc_rejects_header_crlf():
     with pytest.raises(ValueError, match="CR/LF"):
         encode_warc([({"WARC-Type": "resource",
                        "WARC-Target-URI": "http://a\r\nWARC-Type: fake"}, b"x")])
+
+
+def test_html_media_elements_become_media_spans():
+    """video/audio/source/embed src attributes are media refs too —
+    the interleaved-document story is text+media, not text+img."""
+    from ecc_spark.warc import html_to_spans
+
+    html = (
+        '<p>watch</p><video src="clip.mp4"></video>'
+        '<audio src="talk.wav"></audio>'
+        '<video><source src="alt.webm"></video>'
+        '<embed src="thing.swf">'
+    )
+    media = [s["media_ref"] for s in html_to_spans(html) if s["kind"] == "media"]
+    assert media == ["clip.mp4", "talk.wav", "alt.webm", "thing.swf"]
