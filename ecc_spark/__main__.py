@@ -340,6 +340,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="simulate transient fetch failures (0-1000); "
                         "failed URLs retry next wave via the queue view")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--archive-warc", dest="archive_warc", default=None, metavar="DIR",
+                   help="archive each wave's fetched pages as WARC parts "
+                        "under DIR/wave=N (default: content never leaves "
+                        "the executors)")
     p.set_defaults(func=cmd_crawl)
 
     args = parser.parse_args(argv[1:] if argv else None)
