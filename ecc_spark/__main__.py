@@ -246,9 +246,9 @@ def cmd_ingest_warc(args) -> int:
     # dominant cost; running it twice would double the whole job)
     records = read_warc(spark, args.warc_path).persist()
     try:
-        warc_to_documents(spark, records).write.mode("overwrite").parquet(
-            args.out_parquet
-        )
+        warc_to_documents(
+            spark, records, drop_boilerplate=args.drop_boilerplate
+        ).write.mode("overwrite").parquet(args.out_parquet)
         print(f"documents: {spark.read.parquet(args.out_parquet).count()}")
         if args.media_parquet:
             warc_to_media(spark, records).write.mode("overwrite").parquet(
@@ -294,6 +294,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_parquet", metavar="out-parquet")
     p.add_argument("--media-parquet", default=None,
                    help="also extract archived image/audio/video responses")
+    p.add_argument("--drop-boilerplate", dest="drop_boilerplate", action="store_true",
+                   help="drop nav/footer/aside/header/form subtrees "
+                        "(site chrome that poisons dedup + LM stats)")
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=cmd_ingest_warc)
 
