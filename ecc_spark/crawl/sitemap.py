@@ -141,3 +141,51 @@ def child_sitemaps(parsed: DataFrame) -> DataFrame:
     retrieves these bodies and calls ``parse_sitemaps`` again (sitemap
     indexes are one level deep by spec)."""
     return parsed.filter(F.col("kind") == "sitemap").select("host", "url")
+
+
+def resolve_sitemaps(
+    spark,
+    sitemaps: DataFrame,
+    fetch_fn,
+    max_rounds: int = 2,
+    max_children: int = 100_000,
+) -> DataFrame:
+    """Fully resolve a sitemap batch, following <sitemapindex> children
+    through an injectable fetcher: (host, content) → the union of every
+    round's parsed entries (url rows only — index rows are consumed by
+    the recursion).
+
+    ``fetch_fn(url) -> str | None`` runs in a vectorized pandas UDF on
+    the executors (inject the real HTTP client in production, a
+    dict-backed body lookup in tests; None/unfetchable children are
+    dropped). Recursion is driver-coordinated but the per-round work —
+    fetch + parse — is distributed; the driver only counts rows.
+    ``max_rounds`` bounds the walk (the spec says indexes are ONE level
+    deep, so 2 rounds covers conforming sites and the cap contains
+    non-conforming loops); ``max_children`` bounds each round's fan-out
+    so a hostile index cannot amplify unboundedly (log-visible via the
+    returned counts, not silent truncation: the cap raises).
+    """
+    out = parse_sitemaps(sitemaps)
+    urls = out.filter(F.col("kind") == "url")
+    frontier = child_sitemaps(out)
+    for _ in range(max_rounds):
+        n = frontier.count()
+        if n == 0:
+            break
+        if n > max_children:
+            raise ValueError(
+                f"sitemap index fan-out {n} exceeds max_children={max_children}"
+            )
+        fetch_udf = F.pandas_udf(
+            lambda u: u.map(lambda x: fetch_fn(x)), T.StringType()
+        )
+        bodies = (
+            frontier.withColumn("content", fetch_udf("url"))
+            .filter(F.col("content").isNotNull())
+            .select("host", "content")
+        )
+        parsed = parse_sitemaps(bodies)
+        urls = urls.unionByName(parsed.filter(F.col("kind") == "url"))
+        frontier = child_sitemaps(parsed)
+    return urls

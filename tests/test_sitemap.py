@@ -110,3 +110,41 @@ def test_sitemap_seeds_feed_the_frontier(spark, tmp_path):
         for r in eng.frontier().orderBy("priority").select("url").collect()
     ]
     assert got == ["http://s.test/high", "http://s.test/mid", "http://s.test/low"]
+
+
+def test_resolve_sitemaps_follows_index_children(spark):
+    """An index whose children are fetched via the injectable fetcher
+    resolves to the union of child url entries; unfetchable children
+    drop; the fan-out cap raises instead of silently truncating."""
+    import pytest
+
+    from ecc_spark.crawl.sitemap import resolve_sitemaps, sitemap_seeds
+
+    child = lambda i: (  # noqa: E731
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<url><loc>https://h.example.com/p{i}</loc><priority>0.{i}</priority></url>"
+        "</urlset>"
+    )
+    bodies = {
+        "https://h.example.com/sm1.xml": child(1),
+        "https://h.example.com/sm2.xml": child(2),
+        # sm3 is unfetchable -> dropped
+    }
+    index = (
+        '<?xml version="1.0"?><sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(
+            f"<sitemap><loc>https://h.example.com/sm{i}.xml</loc></sitemap>"
+            for i in (1, 2, 3)
+        )
+        + "</sitemapindex>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("h.example.com", index)], "host string, content string"
+    )
+    urls = resolve_sitemaps(spark, sitemaps, bodies.get)
+    got = {r["url"] for r in urls.collect()}
+    assert got == {"https://h.example.com/p1", "https://h.example.com/p2"}
+    seeds = {r["url"]: r["priority"] for r in sitemap_seeds(urls).collect()}
+    assert abs(seeds["https://h.example.com/p1"] - 0.9) < 1e-9
+    with pytest.raises(ValueError, match="fan-out"):
+        resolve_sitemaps(spark, sitemaps, bodies.get, max_children=2).collect()
