@@ -541,3 +541,30 @@ def test_html_media_elements_become_media_spans():
     )
     media = [s["media_ref"] for s in html_to_spans(html) if s["kind"] == "media"]
     assert media == ["clip.mp4", "talk.wav", "alt.webm", "thing.swf"]
+
+
+def test_stream_warc_documents_exactly_once_per_archive(spark, tmp_path):
+    """Incremental archive ingest: run 1 drains the two existing
+    archives; a third lands and run 2 appends ONLY its documents — no
+    reprocessing, no duplicates (checkpoint + parquet-sink log)."""
+    from ecc_spark.warc import encode_warc, stream_warc_documents
+
+    def resp(uri):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + f"<p>doc {uri}</p>".encode())
+        return ({"WARC-Type": "response", "WARC-Target-URI": uri,
+                 "WARC-Record-ID": f"<urn:{uri}>"}, http)
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(encode_warc([resp("http://s/1"), resp("http://s/2")]))
+    (warc_dir / "b.warc.gz").write_bytes(encode_warc([resp("http://s/3")], compress=True))
+    out = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    stream_warc_documents(spark, str(warc_dir), out, ck)
+    first = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(first) == ["http://s/1", "http://s/2", "http://s/3"]
+    (warc_dir / "c.warc").write_bytes(encode_warc([resp("http://s/4")]))
+    stream_warc_documents(spark, str(warc_dir), out, ck)
+    second = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(second) == ["http://s/1", "http://s/2", "http://s/3", "http://s/4"]
