@@ -617,3 +617,135 @@ def export_warc(
         write,
         schema="path string, n_records long, n_bytes long, n_null_skipped long",
     )
+
+
+# ---------------------------------------------------------------------
+# CDX index: the random-access sidecar real archive tooling (pywb /
+# OpenWayback) builds over WARC files — (urlkey, offset, length) per
+# record, where offset/length address the record's gzip MEMBER in the
+# compressed file (that is what makes .warc.gz seekable).
+# ---------------------------------------------------------------------
+
+
+def iter_warc_members(buf: bytes):
+    """Yield (offset, length, headers, body) per record, where
+    offset/length span the record's bytes IN THE FILE AS STORED:
+    for a multi-member .warc.gz, the gzip member (seek + inflate one
+    member = one record — warcio's layout); for plain WARC, the raw
+    record span."""
+    import zlib as _z
+
+    if buf[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            d = _z.decompressobj(wbits=31)
+            inflated = d.decompress(buf[pos:])
+            inflated += d.flush()
+            consumed = n - pos - len(d.unused_data)
+            if consumed <= 0:
+                raise ValueError(f"corrupt gzip member at offset {pos}")
+            recs = list(iter_warc_records(inflated))
+            if len(recs) == 1:
+                yield pos, consumed, recs[0][0], recs[0][1]
+            else:
+                # whole-stream gzip (one member, many records): member
+                # offsets cannot address single records — surface the
+                # records with the member's span so the index is still
+                # correct, just coarser
+                for hdr, body in recs:
+                    yield pos, consumed, hdr, body
+            pos += consumed
+            while pos < n and buf[pos : pos + 2] not in (b"\x1f\x8b", b""):
+                pos += 1  # tolerate padding between members
+        return
+    # plain WARC: record spans from the framing walk
+    i = 0
+    n = len(buf)
+    for hdr, body in iter_warc_records(buf):
+        start = buf.find(b"WARC/", i)
+        he = buf.find(b"\r\n\r\n", start)
+        end = he + 4 + int(hdr["content-length"])
+        while buf[end : end + 2] == b"\r\n":
+            end += 2
+        yield start, end - start, hdr, body
+        i = end
+
+
+def surt_key(uri: str) -> str:
+    """SURT-style canonical url key ('com,example)/path?query', lowered,
+    scheme/www dropped) — the sort key CDX files use so one host's
+    records cluster."""
+    u = str(uri).strip().lower()
+    u = re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)
+    host, sep, rest = u.partition("/")
+    host = host.split("@")[-1].split(":")[0]  # drop userinfo + port
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")/" + (rest if sep else "")
+
+
+def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Archive(s) → CDX index rows: (urlkey, warc_date, target_uri,
+    warc_type, http_status, mime, offset, length, path), sorted lookups
+    by urlkey. offset/length address the record's stored bytes (gzip
+    member for .warc.gz), so a reader can serve one record with a
+    ranged read + single-member inflate — no full-file scan."""
+
+    def index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "urlkey", "warc_date", "target_uri", "warc_type",
+            "http_status", "mime", "offset", "length", "path",
+        ]
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    for off, ln, hdr, body in iter_warc_members(bytes(r.content)):
+                        status = mime = None
+                        if hdr.get("warc-type") == "response" and body.startswith(b"HTTP/"):
+                            status, mime, _payload = _parse_http_response(body)
+                        uri = hdr.get("warc-target-uri")
+                        rows.append(
+                            {
+                                "urlkey": surt_key(uri) if uri else None,
+                                "warc_date": hdr.get("warc-date"),
+                                "target_uri": uri,
+                                "warc_type": hdr.get("warc-type", ""),
+                                "http_status": status,
+                                "mime": mime,
+                                "offset": off,
+                                "length": ln,
+                                "path": r.path,
+                            }
+                        )
+                except Exception:  # noqa: BLE001 — same containment as read_warc
+                    rows.append(
+                        {
+                            "urlkey": None, "warc_date": None, "target_uri": None,
+                            "warc_type": "parse_error", "http_status": None,
+                            "mime": None, "offset": -1, "length": 0, "path": r.path,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        index,
+        schema=(
+            "urlkey string, warc_date string, target_uri string, "
+            "warc_type string, http_status int, mime string, "
+            "offset long, length long, path string"
+        ),
+    )
+
+
+def fetch_record(file_bytes: bytes, offset: int, length: int):
+    """Serve ONE record from a CDX hit: slice [offset, offset+length)
+    of the stored file (the ranged read a wayback server would issue)
+    and parse just that span — inflating a single gzip member when the
+    archive is compressed."""
+    span = file_bytes[offset : offset + length]
+    if span[:2] == b"\x1f\x8b":
+        span = gzip.decompress(span)
+    return next(iter_warc_records(span))

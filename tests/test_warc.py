@@ -568,3 +568,44 @@ def test_stream_warc_documents_exactly_once_per_archive(spark, tmp_path):
     stream_warc_documents(spark, str(warc_dir), out, ck)
     second = [r["doc_id"] for r in spark.read.parquet(out).collect()]
     assert sorted(second) == ["http://s/1", "http://s/2", "http://s/3", "http://s/4"]
+
+
+def test_warc_cdx_random_access_every_record(spark, tmp_path):
+    """CDX contract: every indexed (offset, length) serves its exact
+    record via a ranged read — per gzip MEMBER for .warc.gz, per raw
+    span for plain WARC. SURT urlkeys cluster by reversed host."""
+    from ecc_spark.warc import encode_warc, fetch_record, surt_key, warc_cdx
+
+    def resp(uri, body):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        return ({"WARC-Type": "response", "WARC-Target-URI": uri,
+                 "WARC-Record-ID": f"<urn:{uri}>"}, http)
+
+    recs = [resp(f"http://www.example.com/p{i}", f"<p>body {i}</p>".encode())
+            for i in range(5)]
+    (tmp_path / "a.warc").write_bytes(encode_warc(recs))
+    (tmp_path / "b.warc.gz").write_bytes(encode_warc(recs, compress=True))
+    cdx = warc_cdx(spark, str(tmp_path)).collect()
+    assert len(cdx) == 10
+    assert all(r["urlkey"].startswith("com,example)/p") for r in cdx)
+    assert all(r["http_status"] == 200 and r["mime"] == "text/html" for r in cdx)
+    blobs = {}
+    for r in cdx:
+        f = r["path"].replace("file:", "")
+        if f not in blobs:
+            blobs[f] = open(f, "rb").read()
+        hdr, body = fetch_record(blobs[f], r["offset"], r["length"])
+        assert hdr["warc-target-uri"] == r["target_uri"]
+        i = r["target_uri"].rsplit("p", 1)[1]
+        assert body.endswith(f"<p>body {i}</p>".encode())
+    # members really are individually addressable in the gz (offsets differ)
+    gz_offs = sorted(r["offset"] for r in cdx if r["path"].endswith(".warc.gz"))
+    assert len(set(gz_offs)) == 5 and gz_offs[0] == 0
+
+
+def test_surt_key_normalization():
+    from ecc_spark.warc import surt_key
+
+    assert surt_key("https://www.Example.COM:8080/A/B?q=1") == "com,example)/a/b?q=1"
+    assert surt_key("http://sub.host.org/") == "org,host,sub)/"
+    assert surt_key("host.org") == "org,host)/"
