@@ -145,3 +145,110 @@ QUERIES.update(
         "ingest_wiki_xml": ingest_wiki_xml,
     }
 )
+
+
+# -- interleaved training sequences (text + media sentinels) ----------
+
+MEDIA_SENTINEL = "<|media|>"
+
+
+def interleave_stream(docs: DataFrame) -> DataFrame:
+    """DOCUMENTS (doc_id, spans) → the token stream a multimodal LLM
+    trains on (MMC4/OBELICS-style interleaving): per doc,
+    (doc_id, tokens array<string>, media array<struct<tok_pos, media_ref>>)
+    where text/link spans contribute whitespace tokens and every media
+    span contributes ONE ``<|media|>`` sentinel token whose position is
+    recorded next to its media_ref — the alignment a trainer needs to
+    splice image embeddings into the token sequence.
+
+    Pure JVM, one row-local pass: a single F.aggregate over the span
+    array threads (tokens-so-far, media-so-far) through a struct
+    accumulator, so token positions are exact without a second scan or
+    any UDF. Composes with any partitioning; no shuffle.
+    """
+    span_toks = lambda s: F.when(  # noqa: E731
+        s["kind"] == "media", F.array(F.lit(MEDIA_SENTINEL))
+    ).otherwise(F.filter(F.split(s["text"], r"\s+"), lambda x: x != ""))
+    acc0 = F.struct(
+        F.lit([]).cast("array<string>").alias("toks"),
+        F.lit([]).cast("array<struct<tok_pos:int,media_ref:string>>").alias("media"),
+    )
+    merge = lambda acc, s: F.struct(  # noqa: E731
+        F.concat(acc["toks"], span_toks(s)).alias("toks"),
+        F.when(
+            s["kind"] == "media",
+            F.concat(
+                acc["media"],
+                F.array(
+                    F.struct(
+                        F.size(acc["toks"]).cast("int").alias("tok_pos"),
+                        s["media_ref"].alias("media_ref"),
+                    )
+                ),
+            ),
+        )
+        .otherwise(acc["media"])
+        .alias("media"),
+    )
+    return docs.filter(F.col("spans").isNotNull()).select(
+        "doc_id",
+        F.aggregate("spans", acc0, merge).alias("s"),
+    ).select("doc_id", F.col("s.toks").alias("tokens"), F.col("s.media").alias("media"))
+
+
+def interleaved_chunks(
+    docs: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window chunking of the INTERLEAVED stream, media kept
+    aligned: each chunk carries its token slice plus the media refs
+    whose sentinel landed inside [start, start+n) with positions
+    re-based to the chunk. Same window rule as chunk_documents (the two
+    differ only in what a 'token' is); chunking stays row-local."""
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window (got {stride}, {window})")
+    st = interleave_stream(docs).withColumn("n", F.size("tokens"))
+    starts = F.sequence(F.lit(0), F.greatest(F.lit(0), F.col("n") - 1), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start_tok"),
+            F.least(F.lit(window), F.col("n") - s).cast("int").alias("n_tokens"),
+            F.slice("tokens", s + 1, window).alias("chunk_tokens"),
+            F.transform(
+                F.filter(
+                    "media",
+                    lambda m: (m["tok_pos"] >= s) & (m["tok_pos"] < s + window),
+                ),
+                lambda m: F.struct(
+                    (m["tok_pos"] - s).cast("int").alias("tok_pos"),
+                    m["media_ref"].alias("media_ref"),
+                ),
+            ).alias("chunk_media"),
+        ),
+    )
+    return (
+        st.filter(F.col("n") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_i", "c"))
+        .select(
+            "doc_id", "chunk_i",
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col("c.chunk_media").alias("chunk_media"),
+        )
+    )
+
+
+def interleaved_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """◦ rows-only contract entry: interleaved chunks over the synthetic
+    span corpus (chunk_media arrays have no stable DuckDB shape worth
+    faking; exactness is pinned by the pure-python mirror + alignment
+    tests in tests/test_pipeline_parity.py)."""
+    docs = _corpus(spark, sf_dir)[0]
+    return interleaved_chunks(docs).select(
+        "doc_id", "chunk_i", "start_tok", "n_tokens",
+        F.size("chunk_media").alias("n_media"),
+    )
+
+
+QUERIES.update({"interleaved_chunks": interleaved_chunks_query})

@@ -181,3 +181,63 @@ def test_duplicate_title_first_writer_wins(spark):
     dup = pages.filter("title = 'Dup'").collect()
     assert len(dup) == 1
     assert "First version" in dup[0]["text"]
+
+
+def test_interleave_stream_matches_pure_python(spark):
+    """Interleaved token stream vs an independent mirror over the same
+    spans: token lists identical, every media sentinel at its recorded
+    position, media order = span order."""
+    import re
+
+    from ecc_spark.fixtures import corpus_dataframes
+    from ecc_spark.ops.pipeline_ops import MEDIA_SENTINEL, interleave_stream
+
+    docs = corpus_dataframes(spark, n_docs=25, n_seeds=5, seed=42)[0]
+    raw = {r["doc_id"]: r["spans"] for r in docs.collect() if r["spans"]}
+    want = {}
+    for d, spans in raw.items():
+        toks, media = [], []
+        for s in spans:
+            if s["kind"] == "media":
+                media.append((len(toks), s["media_ref"]))
+                toks.append(MEDIA_SENTINEL)
+            else:
+                toks.extend(t for t in re.split(r"\s+", s["text"]) if t)
+        want[d] = (toks, media)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), [(m["tok_pos"], m["media_ref"]) for m in r["media"]])
+        for r in interleave_stream(docs).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], d
+    # at least one doc in the fixture actually interleaves media
+    assert any(media for _, media in want.values())
+
+
+def test_interleaved_chunks_media_alignment(spark):
+    """Every chunk's media list is exactly the sentinels inside its
+    window, re-based: chunk_tokens[tok_pos] IS the sentinel, and the
+    union over chunks at stride=window covers each doc's media once."""
+    from ecc_spark.fixtures import corpus_dataframes
+    from ecc_spark.ops.pipeline_ops import (
+        MEDIA_SENTINEL,
+        interleave_stream,
+        interleaved_chunks,
+    )
+
+    docs = corpus_dataframes(spark, n_docs=25, n_seeds=5, seed=42)[0]
+    window = 40
+    ch = interleaved_chunks(docs, window=window, stride=window).collect()
+    stream = {r["doc_id"]: r for r in interleave_stream(docs).collect()}
+    covered: dict = {}
+    for r in ch:
+        for m in r["chunk_media"]:
+            assert 0 <= m["tok_pos"] < r["n_tokens"]
+            assert r["chunk_tokens"][m["tok_pos"]] == MEDIA_SENTINEL
+            covered.setdefault(r["doc_id"], []).append(
+                (r["start_tok"] + m["tok_pos"], m["media_ref"])
+            )
+    for d, s in stream.items():
+        want = [(m["tok_pos"], m["media_ref"]) for m in s["media"]]
+        assert sorted(covered.get(d, [])) == sorted(want), d
