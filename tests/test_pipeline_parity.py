@@ -241,3 +241,50 @@ def test_interleaved_chunks_media_alignment(spark):
     for d, s in stream.items():
         want = [(m["tok_pos"], m["media_ref"]) for m in s["media"]]
         assert sorted(covered.get(d, [])) == sorted(want), d
+
+
+def test_interleaved_chunks_resolve_to_real_media_features(spark):
+    """The end-to-end multimodal claim: every media ref inside an
+    interleaved chunk joins (broadcast) to a media table whose REAL PNG
+    payloads decode through the codec feature stage — the splice point
+    where a trainer would attach media embeddings."""
+    import zlib as _z
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ecc_spark.fixtures import corpus_dataframes
+    from ecc_spark.ops.codecs import encode_png
+    from ecc_spark.ops.multimodal import decode_features
+    from ecc_spark.ops.pipeline_ops import interleaved_chunks
+    from ecc_spark.schemas import MEDIA
+
+    docs = corpus_dataframes(spark, n_docs=25, n_seeds=5, seed=42)[0]
+    chunks = interleaved_chunks(docs, window=40, stride=40)
+    refs = [
+        r["m"]["media_ref"]
+        for r in chunks.select(F.explode("chunk_media").alias("m")).collect()
+    ]
+    assert refs  # the fixture corpus interleaves media
+    media_rows = []
+    for ref in sorted(set(refs)):
+        h = _z.crc32(ref.encode())
+        rng = np.random.default_rng(h)
+        px = rng.integers(0, 256, (8 + h % 8, 8 + (h >> 4) % 8, 3), dtype=np.uint8)
+        media_rows.append(
+            {"media_ref": ref, "kind": "image", "payload": encode_png(px),
+             "width": None, "height": None, "duration_ms": None}
+        )
+    media = spark.createDataFrame(media_rows, schema=MEDIA)
+    feats = decode_features(media).select("media_ref", "mean", "std")
+    joined = (
+        chunks.select("doc_id", "chunk_i", F.explode("chunk_media").alias("m"))
+        .select("doc_id", "chunk_i", F.col("m.media_ref").alias("media_ref"))
+        .join(F.broadcast(feats), "media_ref", "left")
+    )
+    rows = joined.collect()
+    assert len(rows) == len(refs)
+    assert all(r["mean"] is not None for r in rows)  # every ref resolved
+    # and the features really came from the PNG pixels (std of random
+    # pixels is far from the all-zero/flat degenerate)
+    assert all(r["std"] > 10 for r in rows)
