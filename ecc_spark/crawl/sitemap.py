@@ -169,6 +169,7 @@ def resolve_sitemaps(
     out = parse_sitemaps(sitemaps)
     urls = out.filter(F.col("kind") == "url")
     frontier = child_sitemaps(out)
+    npart = spark.sparkContext.defaultParallelism
     for _ in range(max_rounds):
         n = frontier.count()
         if n == 0:
@@ -181,11 +182,32 @@ def resolve_sitemaps(
             lambda u: u.map(lambda x: fetch_fn(x)), T.StringType()
         )
         bodies = (
-            frontier.withColumn("content", fetch_udf("url"))
-            .filter(F.col("content").isNotNull())
+            # a single index explodes into ONE narrow partition — spread
+            # the network-bound fetch stage across the cluster before
+            # the Python UDF runs (the repo-wide AQE/UDF rule)
+            frontier.repartition(min(npart, max(1, n)))
+            .withColumn("content", fetch_udf("url"))
             .select("host", "content")
+            # materialize + truncate lineage BEFORE any filter touches
+            # the UDF column (a filter + projection of the same pandas
+            # UDF evaluates it twice — measured): fetch_fn runs EXACTLY
+            # ONCE per child, and later counts/actions can never
+            # re-fetch over the network (Spark assumes UDF determinism;
+            # a transient re-fetch failure would silently change the
+            # result). Driver-coordinated resolution accepts
+            # localCheckpoint's non-fault-tolerance.
+            .localCheckpoint(eager=True)
         )
-        parsed = parse_sitemaps(bodies)
+        parsed = parse_sitemaps(bodies.filter(F.col("content").isNotNull()))
         urls = urls.unionByName(parsed.filter(F.col("kind") == "url"))
         frontier = child_sitemaps(parsed)
+    else:
+        # rounds exhausted with children left: raising (not silently
+        # truncating) is the documented contract, same as max_children
+        n_left = frontier.count()
+        if n_left:
+            raise ValueError(
+                f"sitemap index still has {n_left} unresolved children after "
+                f"max_rounds={max_rounds} (non-conforming nesting or a loop)"
+            )
     return urls

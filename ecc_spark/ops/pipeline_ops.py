@@ -168,7 +168,14 @@ def interleave_stream(docs: DataFrame) -> DataFrame:
     """
     span_toks = lambda s: F.when(  # noqa: E731
         s["kind"] == "media", F.array(F.lit(MEDIA_SENTINEL))
-    ).otherwise(F.filter(F.split(s["text"], r"\s+"), lambda x: x != ""))
+    ).otherwise(
+        # SPAN.text is nullable; split(null) -> null would null the
+        # whole accumulator (concat with null) and silently erase the
+        # document's entire stream
+        F.filter(
+            F.split(F.coalesce(s["text"], F.lit("")), r"\s+"), lambda x: x != ""
+        )
+    )
     acc0 = F.struct(
         F.lit([]).cast("array<string>").alias("toks"),
         F.lit([]).cast("array<struct<tok_pos:int,media_ref:string>>").alias("media"),

@@ -229,6 +229,7 @@ def stream_warc_documents(
     out_dir: str,
     checkpoint_dir: str,
     drop_boilerplate: bool = False,
+    markup: str = "html",
 ) -> None:
     """Incremental WARC ingest (the §2.9 pattern incremental_ingest uses
     for dump deltas, applied to a growing archive directory): new
@@ -237,7 +238,10 @@ def stream_warc_documents(
     the stream checkpoint + the parquet sink's transaction log.
     Trigger.AvailableNow drains everything present then stops — re-run
     after each crawl wave lands; already-ingested archives are skipped,
-    so ingest cost is O(delta), not O(archive)."""
+    so ingest cost is O(delta), not O(archive). NOTE: a crawl's own
+    archive (CrawlEngine archive_dir) stores WIKITEXT resource records
+    — pass ``markup="wikitext"`` for those; the html default would
+    filter them all out AND mark the files consumed in the checkpoint."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINFILE_SCHEMA)
@@ -245,7 +249,10 @@ def stream_warc_documents(
         .select("path", "content")
     )
     docs = warc_to_documents(
-        spark, _parse_warc_files(files), drop_boilerplate=drop_boilerplate
+        spark,
+        _parse_warc_files(files),
+        drop_boilerplate=drop_boilerplate,
+        markup=markup,
     )
     q = (
         docs.writeStream.format("parquet")
@@ -450,38 +457,62 @@ def _decode_body(raw: bytes, content_type: str | None) -> str:
 
 
 def warc_to_documents(
-    spark: SparkSession, src: str | DataFrame, drop_boilerplate: bool = False
+    spark: SparkSession,
+    src: str | DataFrame,
+    drop_boilerplate: bool = False,
+    markup: str = "html",
 ) -> DataFrame:
     """WARC archive(s) (path, or a read_warc frame to reuse) → the
     DOCUMENTS table shape (doc_id = target URI, spans = interleaved
-    text/link/media): HTTP-200 HTML responses only, decoded by the
-    DECLARED charset (utf-8 / latin-1 fallback — never raises),
-    extracted by html_to_spans in the same mapInPandas pass."""
+    text/link/media), extracted in the same mapInPandas pass.
+
+    ``markup="html"`` (default): HTTP-200 HTML responses, decoded by
+    the DECLARED charset (utf-8 / latin-1 fallback — never raises),
+    extracted by html_to_spans.
+    ``markup="wikitext"``: text/x-wiki records of ANY warc type —
+    the shape CrawlEngine(archive_dir=...) writes — parsed by the
+    engine's real wikitext parser (ingest.parse_markup), so a crawl's
+    own archive round-trips through stream_warc_documents."""
     from pyspark.sql import functions as F
 
-    resp = _records(spark, src).filter(
-        (F.col("warc_type") == "response")
+    recs = _records(spark, src)
+    if markup == "html":
+        recs = recs.filter(
+            (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html")
-    )
+            & F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html")
+        )
+    elif markup == "wikitext":
+        # crawl archives store resource records; real response records
+        # carrying wikitext qualify too — the content type decides
+        recs = recs.filter(
+            F.lower(F.coalesce("http_content_type", F.lit(""))).contains("x-wiki")
+            | (F.col("warc_type") == "resource")
+        ).filter(F.col("warc_type") != "parse_error")
+    else:
+        raise ValueError(f"unknown markup mode {markup!r}")
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if markup == "wikitext":
+            from ecc_spark.ingest import parse_markup
+
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                markup = _decode_body(bytes(r.body), r.http_content_type)
+                text = _decode_body(bytes(r.body), r.http_content_type)
+                spans = (
+                    html_to_spans(text, drop_boilerplate)
+                    if markup == "html"
+                    else parse_markup(text)
+                )
                 rows.append(
-                    {
-                        "doc_id": r.target_uri,
-                        "redirect": None,
-                        "spans": html_to_spans(markup, drop_boilerplate),
-                    }
+                    {"doc_id": r.target_uri, "redirect": None, "spans": spans}
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "redirect", "spans"])
 
     from ecc_spark.schemas import DOCUMENTS
 
-    return resp.mapInPandas(extract, schema=DOCUMENTS)
+    return recs.mapInPandas(extract, schema=DOCUMENTS)
 
 
 _MEDIA_KINDS = (("image/", "image"), ("audio/", "audio"), ("video/", "video"))
@@ -627,48 +658,56 @@ def export_warc(
 # ---------------------------------------------------------------------
 
 
-def iter_warc_members(buf: bytes):
-    """Yield (offset, length, headers, body) per record, where
-    offset/length span the record's bytes IN THE FILE AS STORED:
+def iter_warc_members(buf: bytes, _chunk: int = 1 << 20):
+    """Yield (offset, length, rec_in_span, headers, body) per record,
+    where offset/length span the record's bytes IN THE FILE AS STORED:
     for a multi-member .warc.gz, the gzip member (seek + inflate one
     member = one record — warcio's layout); for plain WARC, the raw
-    record span."""
+    record span. rec_in_span is the record's index WITHIN that span —
+    0 for member-granular layouts, 0..k for whole-stream gzip where one
+    member holds many records (fetch_record uses it to serve the right
+    one).
+
+    The gzip walk is LINEAR: members inflate from memoryview slices fed
+    in bounded chunks, and the member boundary comes from how much of
+    the last chunk the decompressor left over — no per-member copy of
+    the remaining file (a buf[pos:] slice per member would make a 100k-
+    member Common Crawl segment O(members x filesize))."""
     import zlib as _z
 
     if buf[:2] == b"\x1f\x8b":
+        view = memoryview(buf)
         pos = 0
         n = len(buf)
         while pos < n:
             d = _z.decompressobj(wbits=31)
-            inflated = d.decompress(buf[pos:])
-            inflated += d.flush()
-            consumed = n - pos - len(d.unused_data)
+            out = []
+            fed = 0
+            while not d.eof and pos + fed < n:
+                chunk = view[pos + fed : pos + fed + _chunk]
+                out.append(d.decompress(chunk))
+                fed += len(chunk)
+            if not d.eof:
+                raise ValueError(f"corrupt/truncated gzip member at offset {pos}")
+            consumed = fed - len(d.unused_data)  # unused bytes are <= one chunk
             if consumed <= 0:
                 raise ValueError(f"corrupt gzip member at offset {pos}")
-            recs = list(iter_warc_records(inflated))
-            if len(recs) == 1:
-                yield pos, consumed, recs[0][0], recs[0][1]
-            else:
-                # whole-stream gzip (one member, many records): member
-                # offsets cannot address single records — surface the
-                # records with the member's span so the index is still
-                # correct, just coarser
-                for hdr, body in recs:
-                    yield pos, consumed, hdr, body
+            recs = list(iter_warc_records(b"".join(out)))
+            for ri, (hdr, body) in enumerate(recs):
+                yield pos, consumed, ri, hdr, body
             pos += consumed
             while pos < n and buf[pos : pos + 2] not in (b"\x1f\x8b", b""):
                 pos += 1  # tolerate padding between members
         return
     # plain WARC: record spans from the framing walk
     i = 0
-    n = len(buf)
     for hdr, body in iter_warc_records(buf):
         start = buf.find(b"WARC/", i)
         he = buf.find(b"\r\n\r\n", start)
         end = he + 4 + int(hdr["content-length"])
         while buf[end : end + 2] == b"\r\n":
             end += 2
-        yield start, end - start, hdr, body
+        yield start, end - start, 0, hdr, body
         i = end
 
 
@@ -685,6 +724,25 @@ def surt_key(uri: str) -> str:
     return ",".join(reversed(host.split("."))) + ")/" + (rest if sep else "")
 
 
+def _http_head(body: bytes) -> tuple[int | None, str | None]:
+    """Status + content-type from the HTTP header block ONLY — the index
+    never needs the payload, so chunked reassembly / gzip inflation
+    (which _parse_http_response pays) is skipped entirely."""
+    if not body.startswith(b"HTTP/"):
+        return None, None
+    he = body.find(b"\r\n\r\n")
+    ver_end = body.find(b"\r\n")
+    if ver_end < 0:
+        return None, None
+    parts = body[:ver_end].split(b" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None
+    headers = _parse_headers(body[ver_end + 2 : he if he > 0 else len(body)])
+    return status, headers.get("content-type")
+
+
 def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
     """Archive(s) → CDX index rows: (urlkey, warc_date, target_uri,
     warc_type, http_status, mime, offset, length, path), sorted lookups
@@ -695,16 +753,16 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
     def index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "urlkey", "warc_date", "target_uri", "warc_type",
-            "http_status", "mime", "offset", "length", "path",
+            "http_status", "mime", "offset", "length", "rec_in_span", "path",
         ]
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
-                    for off, ln, hdr, body in iter_warc_members(bytes(r.content)):
+                    for off, ln, ri, hdr, body in iter_warc_members(bytes(r.content)):
                         status = mime = None
-                        if hdr.get("warc-type") == "response" and body.startswith(b"HTTP/"):
-                            status, mime, _payload = _parse_http_response(body)
+                        if hdr.get("warc-type") == "response":
+                            status, mime = _http_head(body)
                         uri = hdr.get("warc-target-uri")
                         rows.append(
                             {
@@ -716,6 +774,7 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
                                 "mime": mime,
                                 "offset": off,
                                 "length": ln,
+                                "rec_in_span": ri,
                                 "path": r.path,
                             }
                         )
@@ -724,7 +783,8 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
                         {
                             "urlkey": None, "warc_date": None, "target_uri": None,
                             "warc_type": "parse_error", "http_status": None,
-                            "mime": None, "offset": -1, "length": 0, "path": r.path,
+                            "mime": None, "offset": -1, "length": 0,
+                            "rec_in_span": 0, "path": r.path,
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -735,17 +795,22 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
         schema=(
             "urlkey string, warc_date string, target_uri string, "
             "warc_type string, http_status int, mime string, "
-            "offset long, length long, path string"
+            "offset long, length long, rec_in_span int, path string"
         ),
     )
 
 
-def fetch_record(file_bytes: bytes, offset: int, length: int):
+def fetch_record(file_bytes: bytes, offset: int, length: int, rec_in_span: int = 0):
     """Serve ONE record from a CDX hit: slice [offset, offset+length)
     of the stored file (the ranged read a wayback server would issue)
     and parse just that span — inflating a single gzip member when the
-    archive is compressed."""
+    archive is compressed. ``rec_in_span`` (from the CDX row) selects
+    the record inside a whole-stream-gzip span, where one member holds
+    many records and the first one is NOT necessarily the hit."""
     span = file_bytes[offset : offset + length]
     if span[:2] == b"\x1f\x8b":
         span = gzip.decompress(span)
-    return next(iter_warc_records(span))
+    for i, rec in enumerate(iter_warc_records(span)):
+        if i == rec_in_span:
+            return rec
+    raise ValueError(f"span holds no record #{rec_in_span}")

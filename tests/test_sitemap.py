@@ -148,3 +148,48 @@ def test_resolve_sitemaps_follows_index_children(spark):
     assert abs(seeds["https://h.example.com/p1"] - 0.9) < 1e-9
     with pytest.raises(ValueError, match="fan-out"):
         resolve_sitemaps(spark, sitemaps, bodies.get, max_children=2).collect()
+
+
+def test_resolve_sitemaps_fetches_each_child_exactly_once(spark, tmp_path):
+    """fetch_fn must run once per child even across extra actions on the
+    result (lineage is checkpointed): a file-backed call log counts
+    invocations across local worker processes."""
+    import pytest
+
+    from ecc_spark.crawl.sitemap import resolve_sitemaps
+
+    log = tmp_path / "calls.log"
+    child = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://h.example.com/p</loc></url></urlset>"
+    )
+
+    def fetch(url, _log=str(log), _child=child):
+        with open(_log, "a") as fh:
+            fh.write(url + "\n")
+        return _child
+
+    index = (
+        '<?xml version="1.0"?><sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>https://h.example.com/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>https://h.example.com/sm2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("h.example.com", index)], "host string, content string"
+    )
+    urls = resolve_sitemaps(spark, sitemaps, fetch)
+    assert urls.count() == 2
+    assert urls.count() == 2  # second action must not re-fetch
+    urls.collect()
+    calls = log.read_text().splitlines()
+    assert sorted(calls) == [
+        "https://h.example.com/sm1.xml", "https://h.example.com/sm2.xml",
+    ]
+    # exhausting max_rounds with children left RAISES (documented), not
+    # silently truncates: an index whose children are themselves indexes
+    nested = index.replace("urlset", "sitemapindex")
+    deep_fetch = lambda u: index if u.endswith("sm1.xml") else None  # noqa: E731
+    deep = spark.createDataFrame([("h.example.com", nested)], "host string, content string")
+    with pytest.raises(ValueError, match="unresolved children"):
+        resolve_sitemaps(spark, deep, deep_fetch, max_rounds=1)

@@ -609,3 +609,65 @@ def test_surt_key_normalization():
     assert surt_key("https://www.Example.COM:8080/A/B?q=1") == "com,example)/a/b?q=1"
     assert surt_key("http://sub.host.org/") == "org,host,sub)/"
     assert surt_key("host.org") == "org,host)/"
+
+
+def test_cdx_whole_stream_gzip_serves_each_record(spark, tmp_path):
+    """Whole-stream gzip (one member, many records): rec_in_span must
+    route fetch_record to THE record, not the member's first."""
+    import gzip as _gz
+
+    from ecc_spark.warc import encode_warc, fetch_record, warc_cdx
+
+    recs = [({"WARC-Type": "resource", "WARC-Target-URI": f"http://w/{i}",
+              "WARC-Record-ID": f"<urn:{i}>"}, f"body-{i}".encode())
+            for i in range(4)]
+    (tmp_path / "whole.warc.gz").write_bytes(_gz.compress(encode_warc(recs)))
+    cdx = warc_cdx(spark, str(tmp_path)).collect()
+    assert len(cdx) == 4
+    assert sorted(r["rec_in_span"] for r in cdx) == [0, 1, 2, 3]
+    blob = (tmp_path / "whole.warc.gz").read_bytes()
+    for r in cdx:
+        hdr, body = fetch_record(blob, r["offset"], r["length"], r["rec_in_span"])
+        assert hdr["warc-target-uri"] == r["target_uri"]
+        assert body == f"body-{r['target_uri'].rsplit('/', 1)[1]}".encode()
+
+
+def test_member_walk_linear_chunked_feeding(tmp_path):
+    """Members larger than the feed chunk still frame exactly — the
+    linear walk's boundary math (fed - unused) must hold when a member
+    spans many chunks."""
+    from ecc_spark.warc import encode_warc, iter_warc_members
+
+    recs = [({"WARC-Type": "resource", "WARC-Target-URI": f"http://b/{i}",
+              "WARC-Record-ID": f"<urn:{i}>"}, bytes([i]) * 5000)
+            for i in range(3)]
+    payload = encode_warc(recs, compress=True)
+    got = list(iter_warc_members(payload, _chunk=64))  # force many chunks
+    assert [(h["warc-target-uri"], len(b)) for _, _, _, h, b in got] == [
+        (f"http://b/{i}", 5000) for i in range(3)
+    ]
+    # spans tile the file exactly
+    spans = [(o, ln) for o, ln, _, _, _ in got]
+    assert spans[0][0] == 0
+    for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+        assert o1 + l1 == o2
+
+
+def test_stream_ingests_crawl_archive_wikitext(spark, tmp_path):
+    """The crawl's own archive (text/x-wiki resource records) streams
+    into DOCUMENTS via markup='wikitext' — the html default would have
+    consumed the files while writing nothing."""
+    from ecc_spark.warc import export_warc, stream_warc_documents
+
+    pages = [("https://h0.example.com/wiki/A",
+              "Intro [[https://h1.example.com/wiki/B]] outro."),
+             ("https://h1.example.com/wiki/B", "Plain text only.")]
+    df = spark.createDataFrame(pages, "uri string, body string")
+    arch = str(tmp_path / "arch" / "wave=0")
+    export_warc(df, arch, content_type="text/x-wiki").collect()
+    out, ck = str(tmp_path / "docs"), str(tmp_path / "ck")
+    stream_warc_documents(spark, str(tmp_path / "arch"), out, ck, markup="wikitext")
+    docs = {r["doc_id"]: r["spans"] for r in spark.read.parquet(out).collect()}
+    assert set(docs) == {p[0] for p in pages}
+    kinds = [s["kind"] for s in docs["https://h0.example.com/wiki/A"]]
+    assert "link" in kinds  # the real wikitext parser ran
