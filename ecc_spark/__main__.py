@@ -264,6 +264,28 @@ def cmd_ingest_warc(args) -> int:
     return 0
 
 
+def cmd_index_warc(args) -> int:
+    """WARC archive(s) → CDX parquet index (SURT urlkey, offset/length
+    per stored record) — the random-access sidecar for fetch_record."""
+    from ecc_spark.session import get_spark
+    from ecc_spark.warc import warc_cdx
+
+    if not os.path.exists(args.warc_path):
+        print("WARC path not found")
+        return 2
+    if not _check_overwrite(args.out_parquet, args.overwrite, "CDX parquet"):
+        return 2
+    spark = get_spark("ecc_index_warc")
+    cdx = warc_cdx(spark, args.warc_path).orderBy("urlkey", "warc_date")
+    cdx.write.mode("overwrite").parquet(args.out_parquet)
+    n = spark.read.parquet(args.out_parquet).count()
+    bad = spark.read.parquet(args.out_parquet).filter(
+        "warc_type = 'parse_error'"
+    ).count()
+    print(f"cdx rows: {n}" + (f" (WARNING: {bad} parse errors)" if bad else ""))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = ArgumentParser(
         formatter_class=_formatter,
@@ -299,6 +321,12 @@ def main(argv: list[str] | None = None) -> int:
                         "(site chrome that poisons dedup + LM stats)")
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(func=cmd_ingest_warc)
+
+    p = subs.add_parser("index-warc", formatter_class=_formatter, parents=[common])
+    p.add_argument("warc_path", metavar="warc-path")
+    p.add_argument("out_parquet", metavar="out-parquet")
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(func=cmd_index_warc)
 
     p = subs.add_parser("build-matches-db", formatter_class=_formatter, parents=[common])
     p.add_argument("docs_parquet", metavar="docs-parquet")
