@@ -469,3 +469,80 @@ def test_gif_rejects_too_many_colors_and_garbage():
         encode_gif(img)
     with pytest.raises(ValueError):
         decode_gif(b"GIF90a" + bytes(20))
+
+
+# ---------------------- property-based (hypothesis) -------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    nch=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, nch, filter_type, seed):
+    """PNG is lossless for EVERY shape/color-type/filter combination —
+    including 1-pixel rows/columns where the left/up neighbors of the
+    filter algebra degenerate."""
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w) if nch == 1 else (h, w, nch), dtype=np.uint8
+    )
+    assert decode_png(encode_png(px, filter_type=filter_type)).tolist() == px.tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 64),
+    alphabet=st.integers(2, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_lzw_roundtrip_property(n, alphabet, seed):
+    """LZW encode/decode are inverses for arbitrary index streams over
+    arbitrary alphabet sizes (mcs edge cases incl. the 2-symbol
+    minimum, where code widths start at 3 regardless)."""
+    from ecc_spark.ops.codecs import _lzw_decode, _lzw_encode
+
+    idx = np.random.default_rng(seed).integers(0, alphabet, n, dtype=np.uint8)
+    mcs = max(2, int(alphabet - 1).bit_length())
+    got = _lzw_decode(_lzw_encode(idx.tobytes(), mcs), mcs, n)
+    assert got.tolist() == idx.tolist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 300), min_size=1, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mp4_demux_roundtrip_property(sizes, seed):
+    """Mux → probe/demux is the identity for arbitrary sample-size
+    sequences, including zero-length samples (legal per spec)."""
+    from ecc_spark.ops.codecs import demux_mp4, encode_mp4, probe_mp4
+
+    rng = np.random.default_rng(seed)
+    samples = [bytes(rng.integers(0, 256, sz, dtype=np.uint8)) for sz in sizes]
+    payload = encode_mp4(samples, 8, 8)
+    assert demux_mp4(payload) == samples
+    assert probe_mp4(payload)["sample_sizes"] == [len(x) for x in samples]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=6),
+    compress=st.booleans(),
+)
+def test_warc_framing_roundtrip_property(bodies, compress):
+    """WARC framing survives ARBITRARY bodies — including ones embedding
+    record delimiters, CRLF runs, and gzip magic — in both layouts."""
+    from ecc_spark.warc import encode_warc, iter_warc_records
+
+    recs = [
+        ({"WARC-Type": "resource", "WARC-Record-ID": f"<urn:{i}>"}, b)
+        for i, b in enumerate(bodies)
+    ]
+    got = list(iter_warc_records(encode_warc(recs, compress=compress)))
+    assert [b for _, b in got] == bodies
