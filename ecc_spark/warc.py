@@ -607,6 +607,21 @@ def export_warc(
         n_null = 0
         tmp = f"{path}.attempt-{ctx.taskAttemptId()}.inprogress"
         with open(tmp, "wb") as fh:
+            # spec-recommended head record describing the writer; not
+            # counted in n_records (it describes the file, not the data)
+            fh.write(
+                encode_warc(
+                    [(
+                        {
+                            "WARC-Type": "warcinfo",
+                            "WARC-Record-ID": f"<urn:ecc:warcinfo:{pid}>",
+                            "Content-Type": "application/warc-fields",
+                        },
+                        b"software: ecc-spark export_warc\r\nformat: WARC/1.0\r\n",
+                    )],
+                    compress=True,
+                )
+            )
             for pdf in it:
                 for uri, body in zip(pdf[uri_col], pdf[body_col]):
                     if body is None or uri is None:
@@ -634,7 +649,7 @@ def export_warc(
         if n:
             os.replace(tmp, path)  # publish only non-empty, complete parts
         else:
-            os.remove(tmp)
+            os.remove(tmp)  # a lone warcinfo describes no data — drop it
         yield pd.DataFrame(
             [{"path": path, "n_records": n, "n_bytes": n_bytes,
               "n_null_skipped": n_null}]

@@ -671,3 +671,17 @@ def test_stream_ingests_crawl_archive_wikitext(spark, tmp_path):
     assert set(docs) == {p[0] for p in pages}
     kinds = [s["kind"] for s in docs["https://h0.example.com/wiki/A"]]
     assert "link" in kinds  # the real wikitext parser ran
+
+
+def test_export_warc_writes_warcinfo_head(spark, tmp_path):
+    from ecc_spark.warc import export_warc, read_warc
+
+    df = spark.createDataFrame([("http://w/1", "<p>x</p>")], "uri string, body string")
+    out = str(tmp_path / "wi")
+    manifest = export_warc(df, out).collect()
+    assert sum(m["n_records"] for m in manifest) == 1  # warcinfo not counted
+    rows = read_warc(spark, out).collect()
+    kinds = sorted(r["warc_type"] for r in rows)
+    assert kinds == ["resource", "warcinfo"]
+    wi = next(r for r in rows if r["warc_type"] == "warcinfo")
+    assert b"ecc-spark" in bytes(wi["body"])
