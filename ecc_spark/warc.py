@@ -558,6 +558,7 @@ def export_warc(
     content_type: str = "text/html",
     warc_type: str = "resource",
     overwrite: bool = False,
+    dedup_bodies: bool = False,
 ) -> DataFrame:
     """Archive a (uri, body) frame as WARC: one ``part-<pid>.warc.gz``
     per partition (record-at-a-time gzip members — the layout real
@@ -579,10 +580,21 @@ def export_warc(
     percent-encoded so a crawled href can never corrupt record framing.
     Temp files are task-ATTEMPT-scoped: under speculative execution two
     attempts of one partition write distinct files and the publish
-    rename keeps whichever completes."""
+    rename keeps whichever completes.
+
+    ``dedup_bodies=True`` writes Heritrix-style REVISIT records: one
+    digest-canonical copy of each distinct body is stored in full; every
+    other URI with the same sha1 becomes a bodyless ``revisit`` record
+    carrying WARC-Refers-To-Target-URI + WARC-Payload-Digest — the
+    archive-layer exact dedup that keeps recrawl archives small. The
+    canonical pick is min(uri) per digest (one shuffle keyed on the
+    digest — uniform, scale-safe); consumers re-join revisits to bodies
+    on the digest."""
     import os
 
     from pyspark import TaskContext
+
+    from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
     stale = [
@@ -597,6 +609,20 @@ def export_warc(
             )
         for f in stale:
             os.remove(os.path.join(out_dir, f))
+
+    cols = df.select(
+        F.col(uri_col).alias("__uri"), F.col(body_col).alias("__body")
+    )
+    if dedup_bodies:
+        hashed = cols.withColumn(
+            "__digest", F.sha1(F.col("__body").cast("binary"))
+        )
+        canon = hashed.groupBy("__digest").agg(F.min("__uri").alias("__orig"))
+        cols = hashed.join(canon, "__digest")
+    else:
+        cols = cols.withColumn("__digest", F.lit(None).cast("string")).withColumn(
+            "__orig", F.col("__uri")
+        )
 
     def write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -623,26 +649,40 @@ def export_warc(
                 )
             )
             for pdf in it:
-                for uri, body in zip(pdf[uri_col], pdf[body_col]):
+                for uri, body, digest, orig in zip(
+                    pdf["__uri"], pdf["__body"], pdf["__digest"], pdf["__orig"]
+                ):
                     if body is None or uri is None:
                         n_null += 1
                         continue
-                    body = body.encode("utf-8") if isinstance(body, str) else bytes(body)
                     safe_uri = (
                         str(uri).replace("\r", "%0D").replace("\n", "%0A")
                     )
-                    rec = encode_warc(
-                        [(
-                            {
-                                "WARC-Type": warc_type,
-                                "WARC-Target-URI": safe_uri,
-                                "WARC-Record-ID": f"<urn:ecc:{pid}:{n}>",
-                                "Content-Type": content_type,
-                            },
-                            body,
-                        )],
-                        compress=True,
-                    )
+                    if dedup_bodies and uri != orig:
+                        hdr = {
+                            "WARC-Type": "revisit",
+                            "WARC-Target-URI": safe_uri,
+                            "WARC-Record-ID": f"<urn:ecc:{pid}:{n}>",
+                            "WARC-Refers-To-Target-URI": str(orig)
+                            .replace("\r", "%0D")
+                            .replace("\n", "%0A"),
+                            "WARC-Payload-Digest": f"sha1:{digest}",
+                            "Content-Type": content_type,
+                        }
+                        payload = b""
+                    else:
+                        hdr = {
+                            "WARC-Type": warc_type,
+                            "WARC-Target-URI": safe_uri,
+                            "WARC-Record-ID": f"<urn:ecc:{pid}:{n}>",
+                            "Content-Type": content_type,
+                        }
+                        if dedup_bodies:
+                            hdr["WARC-Payload-Digest"] = f"sha1:{digest}"
+                        payload = (
+                            body.encode("utf-8") if isinstance(body, str) else bytes(body)
+                        )
+                    rec = encode_warc([(hdr, payload)], compress=True)
                     fh.write(rec)
                     n += 1
                     n_bytes += len(rec)
@@ -658,7 +698,6 @@ def export_warc(
             columns=["path", "n_records", "n_bytes", "n_null_skipped"],
         )
 
-    cols = df.select(uri_col, body_col)
     return cols.mapInPandas(
         write,
         schema="path string, n_records long, n_bytes long, n_null_skipped long",

@@ -685,3 +685,40 @@ def test_export_warc_writes_warcinfo_head(spark, tmp_path):
     assert kinds == ["resource", "warcinfo"]
     wi = next(r for r in rows if r["warc_type"] == "warcinfo")
     assert b"ecc-spark" in bytes(wi["body"])
+
+
+def test_export_warc_revisit_dedup(spark, tmp_path):
+    """dedup_bodies: one full copy per distinct body, Heritrix-style
+    bodyless revisit records for the rest (Refers-To + sha1 digest);
+    the archive shrinks and revisits re-join to bodies on the digest."""
+    import hashlib
+
+    from ecc_spark.warc import export_warc, read_warc
+
+    import numpy as np
+
+    # incompressible body — gzip would otherwise shrink 200 repeats of a
+    # phrase to ~100 bytes and void the size comparison
+    big = bytes(np.random.default_rng(3).integers(0, 256, 4000, dtype=np.uint8))
+    rows = [(f"http://d/{i}", big) for i in range(6)] + [("http://d/u", b"unique")]
+    df = spark.createDataFrame(rows, "uri string, body binary")
+    out_d = str(tmp_path / "dedup")
+    out_f = str(tmp_path / "full")
+    man_d = export_warc(df, out_d, dedup_bodies=True).collect()
+    man_f = export_warc(df, out_f).collect()
+    assert sum(m["n_records"] for m in man_d) == 7  # every URI present
+    assert sum(m["n_bytes"] for m in man_d) < sum(m["n_bytes"] for m in man_f) / 2
+    recs = read_warc(spark, out_d).filter("warc_type != 'warcinfo'").collect()
+    revisits = [r for r in recs if r["warc_type"] == "revisit"]
+    fulls = [r for r in recs if r["warc_type"] == "resource"]
+    assert len(revisits) == 5 and len(fulls) == 2
+    orig = {r["target_uri"] for r in fulls}
+    assert orig == {"http://d/0", "http://d/u"}  # min(uri) canonical + unique
+    digest = hashlib.sha1(big).hexdigest()
+    body_by_digest = {
+        hashlib.sha1(bytes(r["body"])).hexdigest(): bytes(r["body"]) for r in fulls
+    }
+    for r in revisits:
+        assert bytes(r["body"]) == b""
+        # the revisit resolves through its digest to the stored body
+        assert body_by_digest[digest] == big
