@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "path string, rec_i int, warc_type string, target_uri string, "
     "warc_date string, record_id string, content_length long, "
-    "http_status int, http_content_type string, body binary"
+    "http_status int, http_content_type string, "
+    "payload_digest string, refers_to string, body binary"
 )
 
 
@@ -171,7 +172,7 @@ def _parse_warc_files(files: DataFrame) -> DataFrame:
         cols = [
             "path", "rec_i", "warc_type", "target_uri", "warc_date",
             "record_id", "content_length", "http_status",
-            "http_content_type", "body",
+            "http_content_type", "payload_digest", "refers_to", "body",
         ]
         for pdf in it:
             rows = []
@@ -195,6 +196,8 @@ def _parse_warc_files(files: DataFrame) -> DataFrame:
                                 "content_length": int(hdr["content-length"]),
                                 "http_status": status,
                                 "http_content_type": ctype,
+                                "payload_digest": hdr.get("warc-payload-digest"),
+                                "refers_to": hdr.get("warc-refers-to-target-uri"),
                                 "body": body,
                             }
                         )
@@ -210,6 +213,8 @@ def _parse_warc_files(files: DataFrame) -> DataFrame:
                             "content_length": 0,
                             "http_status": None,
                             "http_content_type": None,
+                            "payload_digest": None,
+                            "refers_to": None,
                             "body": str(exc).encode("utf-8", "replace"),
                         }
                     )
@@ -702,6 +707,36 @@ def export_warc(
         write,
         schema="path string, n_records long, n_bytes long, n_null_skipped long",
     )
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Materialize revisit records against their stored bodies: every
+    revisit row joins (on the sha1 payload digest) the full record that
+    carries the body, coming back with its own target_uri but the
+    canonical body/content columns — so consumers of a deduplicated
+    archive see the same rows a full archive would give them. Full
+    records pass through unchanged. The join is digest-keyed (uniform)
+    and the full side is the DISTINCT body set — the small side of a
+    deduplicated archive by construction."""
+    from pyspark.sql import functions as F
+
+    fulls = records.filter(
+        (F.col("warc_type") != "revisit") & F.col("payload_digest").isNotNull()
+    ).select(
+        F.col("payload_digest").alias("__d"),
+        F.col("body").alias("__body"),
+        F.col("http_status").alias("__status"),
+        F.col("http_content_type").alias("__ctype"),
+    ).dropDuplicates(["__d"])
+    revisits = (
+        records.filter(F.col("warc_type") == "revisit")
+        .join(fulls, F.col("payload_digest") == F.col("__d"), "left")
+        .withColumn("body", F.coalesce("__body", "body"))
+        .withColumn("http_status", F.coalesce("http_status", "__status"))
+        .withColumn("http_content_type", F.coalesce("http_content_type", "__ctype"))
+        .drop("__d", "__body", "__status", "__ctype")
+    )
+    return records.filter(F.col("warc_type") != "revisit").unionByName(revisits)
 
 
 # ---------------------------------------------------------------------

@@ -722,3 +722,23 @@ def test_export_warc_revisit_dedup(spark, tmp_path):
         assert bytes(r["body"]) == b""
         # the revisit resolves through its digest to the stored body
         assert body_by_digest[digest] == big
+
+
+def test_resolve_revisits_materializes_bodies(spark, tmp_path):
+    """A deduplicated archive, resolved, serves every URI with its full
+    body — indistinguishable from reading the full archive."""
+    import numpy as np
+
+    from ecc_spark.warc import export_warc, read_warc, resolve_revisits
+
+    big = bytes(np.random.default_rng(5).integers(0, 256, 3000, dtype=np.uint8))
+    rows = [(f"http://r/{i}", big) for i in range(4)] + [("http://r/u", b"uniq")]
+    df = spark.createDataFrame(rows, "uri string, body binary")
+    out = str(tmp_path / "a")
+    export_warc(df, out, dedup_bodies=True).collect()
+    recs = read_warc(spark, out).filter("warc_type != 'warcinfo'")
+    resolved = resolve_revisits(recs)
+    got = {r["target_uri"]: bytes(r["body"]) for r in resolved.collect()}
+    assert got == {u: b for u, b in rows}
+    # revisit rows keep their identity but now carry the canonical body
+    assert resolved.filter("refers_to is not null").count() == 3
