@@ -77,50 +77,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 pixel array: (h, w) for gray, (h, w, 2) for
-    gray+alpha, (h, w, 3) for RGB / palette, (h, w, 4) for RGBA.
-
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced, all
-    five scanline filters. Filters None/Sub/Up reconstruct vectorized
-    (Sub is a per-channel cumulative sum — mod-256 distributes over the
-    prefix sum); Average/Paeth need the just-reconstructed left byte, so
-    those rows fall back to a byte loop.
-    """
-    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    ihdr = None
-    plte = None
-    idat: list[bytes] = []
-    for typ, data in _png_chunks(payload):
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            if len(data) % 3:
-                raise ValueError("PLTE length not a multiple of 3")
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(data)
-    if ihdr is None or len(ihdr) != 13:
-        raise ValueError("missing/short IHDR")
-    w, h = struct.unpack(">II", ihdr[:8])
-    depth, ctype, comp, filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise ValueError(f"only bit depth 8 supported (got {depth})")
-    if ctype not in _PNG_CHANNELS:
-        raise ValueError(f"unknown PNG color type {ctype}")
-    if comp or filt or interlace:
-        raise ValueError("only deflate/adaptive/non-interlaced PNG supported")
-    if ctype == 3 and plte is None:
-        raise ValueError("palette image without PLTE")
-    if not idat:
-        raise ValueError("no IDAT data")
-    nch = _PNG_CHANNELS[ctype]
+def _unfilter(raw: np.ndarray, w: int, h: int, nch: int) -> np.ndarray:
+    """(h·(stride+1),) filtered scanline bytes → (h, stride) recon."""
     stride = w * nch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size does not match dimensions")
-    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    arr = raw.reshape(h, stride + 1)
     ftypes = arr[:, 0]
     rows = arr[:, 1:].astype(np.int64)
     prev = np.zeros(stride, np.int64)
@@ -151,7 +111,83 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {f}")
         recon[y] = cur
         prev = cur
-    px = recon.reshape(h, w, nch)
+    return recon
+
+
+# Adam7 pass grid: (row_start, row_step, col_start, col_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+)
+
+
+def _decode_adam7(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Seven sub-images, each with its OWN scanlines and filters,
+    scattered back onto the full-resolution grid."""
+    px = np.zeros((h, w, nch), np.uint8)
+    pos = 0
+    for r0, rs, c0, cs in _ADAM7:
+        pw = (w - c0 + cs - 1) // cs
+        ph = (h - r0 + rs - 1) // rs
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (pw * nch + 1)
+        chunk = np.frombuffer(raw, np.uint8, need, pos)
+        pos += need
+        sub = _unfilter(chunk, pw, ph, nch).reshape(ph, pw, nch)
+        px[r0::rs, c0::cs] = sub
+    if pos != len(raw):
+        raise ValueError("IDAT size does not match Adam7 pass layout")
+    return px
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 pixel array: (h, w) for gray, (h, w, 2) for
+    gray+alpha, (h, w, 3) for RGB / palette, (h, w, 4) for RGBA.
+
+    Supports bit depth 8, color types 0/2/3/4/6, Adam7 interlacing, all
+    five scanline filters. Filters None/Sub/Up reconstruct vectorized
+    (Sub is a per-channel cumulative sum — mod-256 distributes over the
+    prefix sum); Average/Paeth need the just-reconstructed left byte, so
+    those rows fall back to a byte loop.
+    """
+    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing/short IHDR")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"only bit depth 8 supported (got {depth})")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    if comp or filt or interlace > 1:
+        raise ValueError("only deflate/adaptive filtering supported")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+    if not idat:
+        raise ValueError("no IDAT data")
+    nch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace:
+        px = _decode_adam7(raw, w, h, nch)
+    else:
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT size does not match dimensions")
+        px = _unfilter(np.frombuffer(raw, np.uint8), w, h, nch).reshape(h, w, nch)
     if ctype == 3:
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
@@ -160,7 +196,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, 0] if nch == 1 else px
 
 
-def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(px: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
     """uint8 pixel array -> PNG bytes. (h, w) -> gray, (h, w, 2) ->
     gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA.
 
@@ -169,12 +205,40 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     fine without prediction); 1-4 exist so the decoder's unfilter paths
     are testable against independently-filtered streams. All filters
     vectorize at encode time because predictions read ORIGINAL pixels.
+    ``interlace=True`` writes Adam7 passes (each pass filtered
+    independently with ``filter_type``).
     """
     px = np.ascontiguousarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, nch = px.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if interlace:
+        parts = []
+        for r0, rs, c0, cs in _ADAM7:
+            sub = px[r0::rs, c0::cs]
+            if sub.size:
+                parts.append(_filter_scanlines(sub, filter_type))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        return (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(px, filter_type), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanlines(px: np.ndarray, filter_type: int) -> bytes:
+    """(h, w, nch) uint8 → filtered scanline bytes (filter byte + data
+    per row). Fully vectorized: predictions read ORIGINAL pixels."""
+    h, w, nch = px.shape
     cur = px.reshape(h, w * nch).astype(np.int64)
     up = np.vstack([np.zeros((1, w * nch), np.int64), cur[:-1]])
     left = np.zeros_like(cur)
@@ -201,13 +265,7 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     scan = np.hstack(
         [np.full((h, 1), filter_type, np.uint8), (filt & 255).astype(np.uint8)]
     )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return scan.tobytes()
 
 
 # ---------------------------------------------------------------------

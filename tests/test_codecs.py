@@ -106,8 +106,8 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(bytes(good))
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\x00" + b"rest")
-    # interlaced flag refused loudly, not mis-decoded
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # unknown interlace method (2) refused loudly, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     payload = (
         PNG_MAGIC
         + struct.pack(">I", 13)
@@ -118,7 +118,7 @@ def test_png_rejects_corruption_and_unsupported():
         + b"IEND"
         + struct.pack(">I", zlib.crc32(b"IEND"))
     )
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="filtering"):
         decode_png(payload)
 
 
@@ -546,3 +546,22 @@ def test_warc_framing_roundtrip_property(bodies, compress):
     ]
     got = list(iter_warc_records(encode_warc(recs, compress=compress)))
     assert [b for _, b in got] == bodies
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    nch=st.sampled_from([1, 3, 4]),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_roundtrip_property(h, w, nch, filter_type, seed):
+    """Adam7 interlacing is lossless for every shape — including shapes
+    where whole passes are EMPTY (w or h below a pass's start offset),
+    the classic interlace off-by-one."""
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w) if nch == 1 else (h, w, nch), dtype=np.uint8
+    )
+    got = decode_png(encode_png(px, filter_type=filter_type, interlace=True))
+    assert got.tolist() == px.tolist()
