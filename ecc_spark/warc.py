@@ -592,9 +592,11 @@ def export_warc(
     other URI with the same sha1 becomes a bodyless ``revisit`` record
     carrying WARC-Refers-To-Target-URI + WARC-Payload-Digest — the
     archive-layer exact dedup that keeps recrawl archives small. The
-    canonical pick is min(uri) per digest (one shuffle keyed on the
-    digest — uniform, scale-safe); consumers re-join revisits to bodies
-    on the digest."""
+    canonical pick is ONE ROW per digest (row_number over the digest
+    window ordered by uri — so same-URI refetches, the primary recrawl
+    case, dedup too); a single digest-keyed shuffle, sha1 computed once
+    per row before the exchange. Consumers re-join revisits to bodies
+    on the digest (resolve_revisits)."""
     import os
 
     from pyspark import TaskContext
@@ -615,18 +617,39 @@ def export_warc(
         for f in stale:
             os.remove(os.path.join(out_dir, f))
 
+    import datetime as _dt
+
+    from pyspark.sql.window import Window as _W
+
+    warc_date = (
+        _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
     cols = df.select(
         F.col(uri_col).alias("__uri"), F.col(body_col).alias("__body")
     )
     if dedup_bodies:
+        # ONE digest-keyed shuffle: sha1 computed once per row before
+        # the exchange, the canonical row picked by row_number over the
+        # digest window (NOT uri equality — the primary recrawl case is
+        # the SAME uri refetched with unchanged content, and only one of
+        # those rows may carry the body). Null bodies keep rn=1 so they
+        # reach the writer's null-skip counter instead of vanishing in
+        # a join on a null key.
         hashed = cols.withColumn(
             "__digest", F.sha1(F.col("__body").cast("binary"))
         )
-        canon = hashed.groupBy("__digest").agg(F.min("__uri").alias("__orig"))
-        cols = hashed.join(canon, "__digest")
+        w = _W.partitionBy("__digest").orderBy("__uri")
+        cols = hashed.withColumn(
+            "__rn",
+            F.when(F.col("__digest").isNotNull(), F.row_number().over(w)).otherwise(
+                F.lit(1)
+            ),
+        ).withColumn("__orig", F.first("__uri").over(w))
     else:
-        cols = cols.withColumn("__digest", F.lit(None).cast("string")).withColumn(
-            "__orig", F.col("__uri")
+        cols = (
+            cols.withColumn("__digest", F.lit(None).cast("string"))
+            .withColumn("__rn", F.lit(1))
+            .withColumn("__orig", F.col("__uri"))
         )
 
     def write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -645,6 +668,7 @@ def export_warc(
                     [(
                         {
                             "WARC-Type": "warcinfo",
+                            "WARC-Date": warc_date,
                             "WARC-Record-ID": f"<urn:ecc:warcinfo:{pid}>",
                             "Content-Type": "application/warc-fields",
                         },
@@ -654,8 +678,9 @@ def export_warc(
                 )
             )
             for pdf in it:
-                for uri, body, digest, orig in zip(
-                    pdf["__uri"], pdf["__body"], pdf["__digest"], pdf["__orig"]
+                for uri, body, digest, orig, rn in zip(
+                    pdf["__uri"], pdf["__body"], pdf["__digest"],
+                    pdf["__orig"], pdf["__rn"],
                 ):
                     if body is None or uri is None:
                         n_null += 1
@@ -663,15 +688,20 @@ def export_warc(
                     safe_uri = (
                         str(uri).replace("\r", "%0D").replace("\n", "%0A")
                     )
-                    if dedup_bodies and uri != orig:
+                    if dedup_bodies and rn > 1:
                         hdr = {
                             "WARC-Type": "revisit",
                             "WARC-Target-URI": safe_uri,
+                            "WARC-Date": warc_date,
                             "WARC-Record-ID": f"<urn:ecc:{pid}:{n}>",
                             "WARC-Refers-To-Target-URI": str(orig)
                             .replace("\r", "%0D")
                             .replace("\n", "%0A"),
                             "WARC-Payload-Digest": f"sha1:{digest}",
+                            # mandatory on revisit records (ISO 28500);
+                            # the profile Heritrix writes for
+                            # content-unchanged dedup
+                            "WARC-Profile": "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
                             "Content-Type": content_type,
                         }
                         payload = b""
@@ -679,6 +709,7 @@ def export_warc(
                         hdr = {
                             "WARC-Type": warc_type,
                             "WARC-Target-URI": safe_uri,
+                            "WARC-Date": warc_date,
                             "WARC-Record-ID": f"<urn:ecc:{pid}:{n}>",
                             "Content-Type": content_type,
                         }
@@ -720,10 +751,21 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
     deduplicated archive by construction."""
     from pyspark.sql import functions as F
 
+    from ecc_spark.ops.dedup import _PERSISTED, _drain_persisted
+    from pyspark import StorageLevel
+
+    # the gunzip + Content-Length parse is the dominant cost and this
+    # function's three subtrees (fulls, revisits, passthrough) would
+    # each re-run it — persist the records frame once (dedup.py's
+    # shared janitor frees the previous call's cache)
+    _drain_persisted()
+    records = records.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(records)
     fulls = records.filter(
         (F.col("warc_type") != "revisit") & F.col("payload_digest").isNotNull()
     ).select(
         F.col("payload_digest").alias("__d"),
+        F.col("warc_type").alias("__wtype"),
         F.col("body").alias("__body"),
         F.col("http_status").alias("__status"),
         F.col("http_content_type").alias("__ctype"),
@@ -734,7 +776,19 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
         .withColumn("body", F.coalesce("__body", "body"))
         .withColumn("http_status", F.coalesce("http_status", "__status"))
         .withColumn("http_content_type", F.coalesce("http_content_type", "__ctype"))
-        .drop("__d", "__body", "__status", "__ctype")
+        # resolved rows must LOOK like full rows — the engine's own
+        # consumers (warc_to_documents / warc_to_media) filter on
+        # warc_type and content type, and would otherwise silently drop
+        # every deduplicated URI. refers_to keeps the revisit identity
+        # traceable; content_length is the materialized body's.
+        .withColumn(
+            "warc_type", F.coalesce(F.col("__wtype"), F.col("warc_type"))
+        )
+        .withColumn(
+            "content_length",
+            F.coalesce(F.length("body").cast("long"), F.col("content_length")),
+        )
+        .drop("__d", "__wtype", "__body", "__status", "__ctype")
     )
     return records.filter(F.col("warc_type") != "revisit").unionByName(revisits)
 

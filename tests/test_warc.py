@@ -742,3 +742,46 @@ def test_resolve_revisits_materializes_bodies(spark, tmp_path):
     assert got == {u: b for u, b in rows}
     # revisit rows keep their identity but now carry the canonical body
     assert resolved.filter("refers_to is not null").count() == 3
+
+
+def test_revisit_dedup_same_uri_refetches(spark, tmp_path):
+    """The PRIMARY recrawl case: the same URI fetched repeatedly with
+    unchanged content stores ONE full body + revisits (the old uri-
+    equality canonical stored every copy in full); null bodies stay
+    counted in the manifest under dedup too."""
+    import numpy as np
+
+    from ecc_spark.warc import export_warc, read_warc
+
+    big = bytes(np.random.default_rng(8).integers(0, 256, 3000, dtype=np.uint8))
+    rows = [("http://s/a", big)] * 3 + [("http://s/n", None)]
+    df = spark.createDataFrame(rows, "uri string, body binary")
+    out = str(tmp_path / "re")
+    man = export_warc(df, out, dedup_bodies=True).collect()
+    assert sum(m["n_null_skipped"] for m in man) == 1
+    recs = read_warc(spark, out).filter("warc_type != 'warcinfo'").collect()
+    fulls = [r for r in recs if r["warc_type"] == "resource"]
+    revs = [r for r in recs if r["warc_type"] == "revisit"]
+    assert len(fulls) == 1 and len(revs) == 2
+    assert all(r["refers_to"] == "http://s/a" for r in revs)
+
+
+def test_resolved_revisits_flow_into_consumers(spark, tmp_path):
+    """Review finding: resolved revisit rows must pass the engine's own
+    warc_type / content filters — a deduplicated wikitext crawl archive,
+    resolved, yields EVERY uri as a document."""
+    from ecc_spark.warc import export_warc, read_warc, resolve_revisits, warc_to_documents
+
+    body = "Shared [[https://h1.example.com/wiki/X]] page text."
+    rows = [(f"https://h0.example.com/wiki/P{i}", body) for i in range(4)]
+    df = spark.createDataFrame(rows, "uri string, body string")
+    out = str(tmp_path / "cw")
+    export_warc(df, out, content_type="text/x-wiki", dedup_bodies=True).collect()
+    resolved = resolve_revisits(read_warc(spark, out))
+    docs = warc_to_documents(spark, resolved, markup="wikitext")
+    got = {r["doc_id"] for r in docs.collect()}
+    assert got == {u for u, _ in rows}
+    # every record's warc-date survives the round trip (mandatory header)
+    assert all(
+        r["warc_date"] for r in resolved.filter("warc_type != 'warcinfo'").collect()
+    )
