@@ -896,7 +896,8 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
     def index(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "urlkey", "warc_date", "target_uri", "warc_type",
-            "http_status", "mime", "offset", "length", "rec_in_span", "path",
+            "http_status", "mime", "digest", "offset", "length",
+            "rec_in_span", "path",
         ]
         for pdf in it:
             rows = []
@@ -915,6 +916,7 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
                                 "warc_type": hdr.get("warc-type", ""),
                                 "http_status": status,
                                 "mime": mime,
+                                "digest": hdr.get("warc-payload-digest"),
                                 "offset": off,
                                 "length": ln,
                                 "rec_in_span": ri,
@@ -926,8 +928,8 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
                         {
                             "urlkey": None, "warc_date": None, "target_uri": None,
                             "warc_type": "parse_error", "http_status": None,
-                            "mime": None, "offset": -1, "length": 0,
-                            "rec_in_span": 0, "path": r.path,
+                            "mime": None, "digest": None, "offset": -1,
+                            "length": 0, "rec_in_span": 0, "path": r.path,
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -938,7 +940,8 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
         schema=(
             "urlkey string, warc_date string, target_uri string, "
             "warc_type string, http_status int, mime string, "
-            "offset long, length long, rec_in_span int, path string"
+            "digest string, offset long, length long, rec_in_span int, "
+            "path string"
         ),
     )
 

@@ -785,3 +785,26 @@ def test_resolved_revisits_flow_into_consumers(spark, tmp_path):
     assert all(
         r["warc_date"] for r in resolved.filter("warc_type != 'warcinfo'").collect()
     )
+
+
+def test_cdx_digest_routes_revisits_to_stored_body(spark, tmp_path):
+    """Wayback-style dedup-aware lookup: a revisit's CDX row shares the
+    canonical record's digest, so an index consumer can serve the body
+    from the canonical row's (offset, length) without reading bodies."""
+    import numpy as np
+
+    from ecc_spark.warc import export_warc, fetch_record, warc_cdx
+
+    big = bytes(np.random.default_rng(11).integers(0, 256, 2000, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("http://c/a", big), ("http://c/b", big)], "uri string, body binary"
+    )
+    out = str(tmp_path / "x")
+    export_warc(df, out, dedup_bodies=True).collect()
+    cdx = {r["target_uri"]: r for r in warc_cdx(spark, out).collect()
+           if r["warc_type"] in ("resource", "revisit")}
+    assert cdx["http://c/a"]["digest"] == cdx["http://c/b"]["digest"] is not None
+    canon = next(r for r in cdx.values() if r["warc_type"] == "resource")
+    blob = open(canon["path"].replace("file:", ""), "rb").read()
+    _, body = fetch_record(blob, canon["offset"], canon["length"], canon["rec_in_span"])
+    assert body == big
