@@ -1252,30 +1252,44 @@ def _lzw_encode(idx: bytes, min_code_size: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST image frame.
-    Global + local color tables, extension-block skipping, real LZW,
-    interlaced row order. Animation frames past the first are ignored
-    (the feature stage wants one plane; video-style sampling is the MP4
-    path's job)."""
+def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
+    """GIF87a/89a bytes -> list of (h, w, 3) uint8 RGB frames on the
+    LOGICAL SCREEN: each image descriptor's region is composited onto
+    the running canvas (GCE transparent-index pixels leave the canvas
+    through — the delta encoding animated GIFs use), so every returned
+    frame is what a viewer displays, not a partial patch. Global +
+    local color tables, extension skipping, real LZW, interlaced row
+    order."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
     flags = payload[10]
+    bg_index = payload[11]
     gct = None
     i = 13
     if flags & 0x80:
         n = 2 << (flags & 7)
         gct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(-1, 3)
         i += n * 3
+    bg = (
+        gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list = []
+    transparent: int | None = None
     while i < len(payload):
         b = payload[i]
         if b == 0x21:  # extension: label byte + data sub-blocks
+            label = payload[i + 1]
             i += 2
+            if label == 0xF9 and payload[i] >= 4:  # graphic control
+                gflags = payload[i + 1]
+                transparent = payload[i + 4] if gflags & 1 else None
             while payload[i]:
                 i += 1 + payload[i]
             i += 1
         elif b == 0x2C:  # image descriptor
-            _x, _y, iw, ih = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            x0, y0, iw, ih = struct.unpack("<HHHH", payload[i + 1 : i + 9])
             lflags = payload[i + 9]
             i += 10
             ct = gct
@@ -1292,6 +1306,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 sz = payload[i]
                 data += payload[i + 1 : i + 1 + sz]
                 i += 1 + sz
+            i += 1  # block terminator
             idx = _lzw_decode(bytes(data), mcs, iw * ih).reshape(ih, iw)
             if lflags & 0x40:  # interlaced: rows arrive in 4 passes
                 rows = np.empty(ih, np.int64)
@@ -1303,12 +1318,33 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 idx = idx[rows]
             if int(idx.max(initial=0)) >= len(ct):
                 raise ValueError("GIF palette index out of range")
-            return ct[idx]
+            region = canvas[y0 : y0 + ih, x0 : x0 + iw]
+            if region.shape[:2] != (ih, iw):
+                raise ValueError("GIF frame region exceeds the logical screen")
+            px = ct[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = px[mask]
+            else:
+                region[:] = px
+            frames.append(canvas.copy())
+            transparent = None
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            continue
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b:02X}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First displayed frame (the feature stage wants one plane;
+    per-frame sampling uses decode_gif_frames)."""
+    return decode_gif_frames(payload, max_frames=1)[0]
 
 
 def encode_gif(px: np.ndarray) -> bytes:

@@ -565,3 +565,54 @@ def test_png_adam7_roundtrip_property(h, w, nch, filter_type, seed):
     )
     got = decode_png(encode_png(px, filter_type=filter_type, interlace=True))
     assert got.tolist() == px.tolist()
+
+
+def test_gif_animation_frames_composite():
+    """A hand-muxed 2-frame animation: frame 2 patches a sub-region with
+    a local color table and a GCE transparent index — the composited
+    second frame keeps frame 1's pixels under the transparent holes and
+    outside the region."""
+    from ecc_spark.ops.codecs import _lzw_encode, decode_gif, decode_gif_frames
+
+    def img_block(x0, y0, iw, ih, indices, lct=None, mcs=2):
+        out = bytearray(b"\x2c" + struct.pack("<HHHH", x0, y0, iw, ih))
+        out.append(0x80 | 1 if lct else 0)  # LCT flag, 4-entry table
+        if lct:
+            out += lct
+        out.append(mcs)
+        lzw = _lzw_encode(bytes(indices), mcs)
+        for j in range(0, len(lzw), 255):
+            out.append(len(lzw[j : j + 255]))
+            out += lzw[j : j + 255]
+        out.append(0)
+        return bytes(out)
+
+    gct = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 0, 0, 0])  # 4 entries
+    lct = bytes([0, 0, 99, 0, 0, 88, 0, 0, 0, 0, 0, 0])
+    gce_transparent_idx3 = b"\x21\xf9\x04\x01\x00\x00\x03\x00"
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HH", 4, 3)
+        + bytes([0x81, 0, 0])  # GCT present, 4 entries, bg index 0
+        + gct
+        # frame 1: full screen, indices 0..2 pattern
+        + img_block(0, 0, 4, 3, [0, 1, 2, 0] * 3)
+        # frame 2: 2x2 patch at (1,1), LCT colors, index 3 transparent
+        + gce_transparent_idx3
+        + img_block(1, 1, 2, 2, [0, 3, 3, 1], lct=lct)
+        + b"\x3b"
+    )
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 2
+    f1, f2 = frames
+    assert f1.shape == (3, 4, 3) == f2.shape
+    assert f1[0].tolist() == [[10, 0, 0], [0, 20, 0], [0, 0, 30], [10, 0, 0]]
+    # patch: (1,1) -> lct[0]; (1,2) transparent -> f1 value stays;
+    # (2,1) transparent -> stays; (2,2) -> lct[1]
+    assert f2[1, 1].tolist() == [0, 0, 99]
+    assert f2[1, 2].tolist() == f1[1, 2].tolist()
+    assert f2[2, 1].tolist() == f1[2, 1].tolist()
+    assert f2[2, 2].tolist() == [0, 0, 88]
+    # untouched rows identical; decode_gif = first frame
+    assert f2[0].tolist() == f1[0].tolist()
+    assert decode_gif(payload).tolist() == f1.tolist()
