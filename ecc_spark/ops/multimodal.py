@@ -419,12 +419,17 @@ def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
 
 
 def video_sample_index(media: DataFrame) -> DataFrame:
-    """One row per REAL container sample: (media_ref, sample_i, ts_ms,
-    n_bytes, width, height) demuxed from the ISO BMFF boxes (stts
-    timestamps, stsz sizes, tkhd dims) by ecc_spark.ops.codecs.probe_mp4.
-    mapInPandas over hash-salted partitions — same fat-binary-row
-    discipline as decode_features; unparseable payloads yield no rows
-    rather than failing the stage."""
+    """One row per REAL animation/video sample across BOTH moving-image
+    containers: MP4 samples demuxed from the ISO BMFF boxes (stts
+    timestamps, stsz sizes, tkhd dims — ecc_spark.ops.codecs.probe_mp4)
+    AND animated-GIF frames (decode_gif_frames; a GIF has no per-frame
+    byte spans or timestamps in the index sense, so ts_ms is null and
+    n_bytes the frame's pixel count). mapInPandas over hash-salted
+    partitions — same fat-binary-row discipline as decode_features;
+    unparseable / single-frame payloads yield no rows rather than
+    failing the stage."""
+    from ecc_spark.ops.codecs import decode_gif_frames
+
     out_schema = (
         "media_ref string, sample_i int, ts_ms long, n_bytes int, "
         "width int, height int"
@@ -434,8 +439,28 @@ def video_sample_index(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = decode_gif_frames(payload)
+                    except Exception:  # noqa: BLE001 — malformed GIF
+                        continue
+                    if len(frames) < 2:
+                        continue  # stills belong to the image path
+                    for si, f in enumerate(frames):
+                        rows.append(
+                            {
+                                "media_ref": r.media_ref,
+                                "sample_i": si,
+                                "ts_ms": None,
+                                "n_bytes": int(f.shape[0] * f.shape[1]),
+                                "width": int(f.shape[1]),
+                                "height": int(f.shape[0]),
+                            }
+                        )
+                    continue
                 try:
-                    meta = probe_mp4(bytes(r.payload))
+                    meta = probe_mp4(payload)
                 except Exception:  # noqa: BLE001 — not a BMFF payload
                     continue
                 for si, (ts, sz) in enumerate(
@@ -458,8 +483,8 @@ def video_sample_index(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    vids = media.filter(F.col("kind") == "video")
-    salted = vids.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(32)))
+    moving = media.filter(F.col("kind").isin("video", "image"))
+    salted = moving.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(32)))
     return salted.mapInPandas(batches, schema=out_schema)
 
 

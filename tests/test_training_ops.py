@@ -775,3 +775,36 @@ def test_audio_dsp_features_pure_sine(spark):
     assert s["rms"] > 10  # ~10000/256/sqrt(2) in 8-bit units
     # non-audio rows carry nulls, not zeros
     assert feats["img.bmp"]["rms"] is None
+
+
+def test_video_sample_index_includes_animated_gif_frames(spark):
+    """Animated GIFs share the sampling surface with MP4: one row per
+    composited frame at the logical-screen dims; still images yield
+    nothing."""
+    from ecc_spark.ops.codecs import _lzw_encode, encode_gif
+    from ecc_spark.ops.multimodal import video_sample_index
+    from ecc_spark.schemas import MEDIA
+    import struct as _st
+
+    def img_block(iw, ih, indices):
+        out = bytearray(b"\x2c" + _st.pack("<HHHH", 0, 0, iw, ih) + b"\x00\x02")
+        lzw = _lzw_encode(bytes(indices), 2)
+        out.append(len(lzw)); out += lzw; out.append(0)
+        return bytes(out)
+
+    gct = bytes(12)
+    anim = (b"GIF89a" + _st.pack("<HH", 2, 2) + bytes([0x81, 0, 0]) + gct
+            + img_block(2, 2, [0, 1, 2, 3]) + img_block(2, 2, [3, 2, 1, 0]) + b"\x3b")
+    import numpy as np
+
+    still = encode_gif(np.zeros((2, 2), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [{"media_ref": "a.gif", "kind": "image", "payload": anim,
+          "width": 2, "height": 2, "duration_ms": None},
+         {"media_ref": "s.gif", "kind": "image", "payload": still,
+          "width": 2, "height": 2, "duration_ms": None}],
+        schema=MEDIA,
+    )
+    rows = video_sample_index(media).collect()
+    assert {(r["media_ref"], r["sample_i"]) for r in rows} == {("a.gif", 0), ("a.gif", 1)}
+    assert all((r["width"], r["height"]) == (2, 2) for r in rows)
