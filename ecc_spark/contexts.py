@@ -30,6 +30,11 @@ from pyspark.sql.window import Window as W
 from ecc_spark.rng import ReferenceRng, entity_processing_order, parity_sample_keys
 from ecc_spark.udfs import crop_mask_udf
 
+# sample_mode="parity" collects one (mid, doc_seq, match_seq) row per match to
+# the driver to replay the reference's MT19937 draw order exactly.  That is a
+# verification mode; this ceiling keeps it off real corpora.
+PARITY_MAX_MATCHES = 2_000_000
+
 
 def context_window(matches: DataFrame, pages: DataFrame, size: int) -> DataFrame:
     """OPS-15: one global join replaces E point queries. Exact SQLite
@@ -83,6 +88,19 @@ def build_contexts(
 
     if limit_contexts is not None or sample_mode == "parity":
         if sample_mode == "parity":
+            # Parity mode replays the reference's driver-side MT19937 sampling
+            # exactly, which requires ONE ROW PER MATCH ON THE DRIVER. It is a
+            # test/verification mode only: driver memory bounds it to corpora
+            # of at most PARITY_MAX_MATCHES matches. Use the default
+            # sample_mode="hash" (fully distributed window top-k) on real data.
+            n_matches = ctx.count()
+            if n_matches > PARITY_MAX_MATCHES:
+                raise ValueError(
+                    f"sample_mode='parity' collects every match key to the "
+                    f"driver; {n_matches} matches exceeds the "
+                    f"{PARITY_MAX_MATCHES} ceiling. Use sample_mode='hash' "
+                    f"(distributed per-entity top-k) for corpora this size."
+                )
             keys = (
                 ctx.select("mid", "doc_seq", "match_seq")
                 .orderBy("mid", "doc_seq", "match_seq")

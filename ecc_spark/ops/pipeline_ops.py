@@ -23,9 +23,21 @@ ORACLES: dict[str, str] = {}
 
 
 def _n_docs(sf_dir: str) -> int:
-    if "0.1" in sf_dir and "0.01" not in sf_dir:
+    """Corpus size keyed off the numeric sf suffix of ``sf_dir``.
+
+    Parses the trailing ``sf<float>`` path component instead of substring
+    matching so unanticipated scales (``sf1``, ``sf0.5``) scale up rather
+    than silently running the 60-doc toy corpus.
+    """
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)/*$", sf_dir.rstrip("/"))
+    sf = float(m.group(1)) if m else 0.001
+    if sf >= 1:
+        return int(400 * sf / 0.1)  # keep linear growth past the tested scales
+    if sf >= 0.1:
         return 400
-    if "0.01" in sf_dir:
+    if sf >= 0.01:
         return 150
     return 60
 

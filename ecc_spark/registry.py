@@ -7,19 +7,29 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _modules():
-    from ecc_spark.ops import analytics, relational
+# Every module here is part of the driver contract: if one fails to import,
+# its oracle queries silently vanish from the FIRST-50 window and the driver
+# reports "missing keys" instead of the real traceback.  Fail loudly instead —
+# a broken ops module must surface as an ImportError naming the module.
+_OP_MODULES = (
+    "relational", "analytics", "textops", "dedup", "similarity", "multimodal",
+    "pipeline_ops", "crawl_ops", "advanced", "bucketing", "corpus_ops",
+)
 
-    mods = [relational, analytics]
-    for name in (
-        "textops", "dedup", "similarity", "multimodal", "pipeline_ops",
-        "crawl_ops", "advanced", "bucketing", "corpus_ops",
-    ):
+
+def _modules():
+    import importlib
+
+    mods = []
+    for name in _OP_MODULES:
         try:
-            mod = __import__(f"ecc_spark.ops.{name}", fromlist=[name])
-            mods.append(mod)
-        except ImportError:
-            pass
+            mods.append(importlib.import_module(f"ecc_spark.ops.{name}"))
+        except Exception as exc:
+            raise ImportError(
+                f"ops module ecc_spark.ops.{name} failed to import; its "
+                f"registry queries would silently disappear from the driver "
+                f"contract: {exc!r}"
+            ) from exc
     return mods
 
 

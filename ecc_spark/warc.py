@@ -43,6 +43,16 @@ WARC_SCHEMA = (
 )
 
 
+def _decode_header(raw: bytes) -> str:
+    """WARC/1.0 permits UTF-8 header values (ISO 28500 §4), and encode_warc
+    writes them as UTF-8 — decode UTF-8 first so non-ASCII target URIs
+    round-trip, falling back to latin-1 for arbitrary HTTP-era bytes."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     """WARC/HTTP header block (without the blank-line terminator) →
     {lower-name: value}. Folded continuation lines (obs-fold) are
@@ -53,13 +63,13 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         if not line:
             continue
         if line[:1] in (b" ", b"\t") and last is not None:
-            out[last] += " " + line.strip().decode("latin-1")
+            out[last] += " " + _decode_header(line.strip())
             continue
         k, sep, v = line.partition(b":")
         if not sep:
             continue
-        last = k.strip().lower().decode("latin-1")
-        out[last] = v.strip().decode("latin-1")
+        last = _decode_header(k.strip()).lower()
+        out[last] = _decode_header(v.strip())
     return out
 
 
@@ -726,6 +736,7 @@ def export_warc(
             os.replace(tmp, path)  # publish only non-empty, complete parts
         else:
             os.remove(tmp)  # a lone warcinfo describes no data — drop it
+            path = None  # nothing published: never report a phantom path
         yield pd.DataFrame(
             [{"path": path, "n_records": n, "n_bytes": n_bytes,
               "n_null_skipped": n_null}]

@@ -288,3 +288,20 @@ def test_interleaved_chunks_resolve_to_real_media_features(spark):
     # and the features really came from the PNG pixels (std of random
     # pixels is far from the all-zero/flat degenerate)
     assert all(r["std"] > 10 for r in rows)
+
+
+def test_parity_mode_ceiling_raises_cleanly(built, monkeypatch):
+    """sample_mode='parity' collects one row per match to the driver; on
+    an oversized frame it must refuse with a pointer to hash mode, not
+    OOM the driver (round-4 verdict item 7)."""
+    import ecc_spark.contexts as cx
+
+    spark = built["spark_session"]
+    pages, matches, mentions = built["spark"]
+    monkeypatch.setattr(cx, "PARITY_MAX_MATCHES", 5)
+    with pytest.raises(ValueError, match="hash"):
+        build_contexts(
+            spark, matches, pages, mentions, built["seed_items"],
+            built["mid2rid"], context_size=80, limit_contexts=3,
+            sample_mode="parity", random_seed=99,
+        ).collect()

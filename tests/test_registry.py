@@ -38,3 +38,36 @@ def test_every_oracle_key_has_a_query():
     keys = set(entrymod.queries())
     dangling = sorted(set(entrymod.oracle_sql()) - keys)
     assert not dangling, f"oracle entries without queries(): {dangling}"
+
+
+def test_broken_ops_module_fails_loudly(monkeypatch):
+    """A broken ops module must raise, not silently shrink the contract:
+    an ImportError swallowed here would blank that module's oracle rows
+    in CORRECTNESS and the driver would report missing keys instead of
+    the real traceback (round-4 verdict item 2)."""
+    import pytest
+
+    from ecc_spark import registry
+
+    monkeypatch.setattr(
+        registry, "_OP_MODULES", ("relational", "definitely_not_a_module")
+    )
+    with pytest.raises(ImportError, match="definitely_not_a_module"):
+        registry.queries()
+
+
+def test_n_docs_parses_numeric_sf_suffix():
+    """_n_docs keys off the parsed sf<float> suffix, not substring
+    matching — 'sf1'/'sf0.5'/trailing slashes must not silently fall
+    back to the 60-doc toy corpus (round-4 verdict item 6)."""
+    from ecc_spark.ops.pipeline_ops import _n_docs
+
+    assert _n_docs("/root/testdata/sf0.001") == 60
+    assert _n_docs("/root/testdata/sf0.01") == 150
+    assert _n_docs("/root/testdata/sf0.01/") == 150
+    assert _n_docs("/root/testdata/sf0.1") == 400
+    assert _n_docs("/root/testdata/sf0.5") == 400
+    assert _n_docs("/root/testdata/sf1") == 4000
+    assert _n_docs("/root/testdata/sf10/") == 40000
+    # unparseable paths keep the safe toy default
+    assert _n_docs("/tmp/some_fixture_dir") == 60

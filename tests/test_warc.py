@@ -808,3 +808,47 @@ def test_cdx_digest_routes_revisits_to_stored_body(spark, tmp_path):
     blob = open(canon["path"].replace("file:", ""), "rb").read()
     _, body = fetch_record(blob, canon["offset"], canon["length"], canon["rec_in_span"])
     assert body == big
+
+
+def test_warc_non_ascii_uri_roundtrip(spark, tmp_path):
+    """encode_warc writes UTF-8 header values (ISO 28500 permits them);
+    _parse_headers must decode UTF-8 first so 'café' does not mojibake
+    into 'cafÃ©' — target_uri becomes doc_id downstream, so a mismatch
+    breaks e.g. the frontier's seen-table joins on re-ingest."""
+    from ecc_spark.warc import export_warc, read_warc
+
+    uri = "http://example.org/café/naïve-页面"
+    df = spark.createDataFrame([(uri, "<p>body</p>")], "uri string, body string")
+    out = str(tmp_path / "arch")
+    export_warc(df, out).collect()
+    back = read_warc(spark, out).filter("warc_type = 'resource'").collect()
+    assert {r["target_uri"] for r in back} == {uri}
+
+
+def test_warc_latin1_header_fallback():
+    """Raw latin-1 bytes (invalid UTF-8) in a foreign archive's header
+    still parse via the latin-1 fallback instead of raising."""
+    from ecc_spark.warc import _parse_headers
+
+    block = b"WARC-Target-URI: http://x/caf\xe9\r\nWARC-Type: resource"
+    hdr = _parse_headers(block)
+    assert hdr["warc-target-uri"] == "http://x/caf\xe9"
+
+
+def test_export_warc_manifest_no_phantom_path(spark, tmp_path):
+    """A part whose every body is null publishes no file — its manifest
+    row must not carry a path that does not exist on disk."""
+    import os
+
+    from ecc_spark.warc import export_warc
+
+    df = spark.createDataFrame(
+        [("http://x/1", None), ("http://x/2", None)], "uri string, body string"
+    ).coalesce(1)
+    out = str(tmp_path / "arch")
+    manifest = export_warc(df, out).collect()
+    assert len(manifest) == 1
+    row = manifest[0]
+    assert row["n_records"] == 0 and row["n_null_skipped"] == 2
+    assert row["path"] is None
+    assert not [p for p in os.listdir(out) if p.endswith(".warc.gz")] if os.path.isdir(out) else True
