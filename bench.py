@@ -79,9 +79,11 @@ def crawl_bench(spark, n_urls: int = 8000, waves: int = 2, budget: int = 120) ->
     from ecc_spark.crawl.frontier import CrawlEngine
 
     urls = [u["url"] for u in gen.frontier_urls(n_urls, n_hosts=60, seed=11)]
-    robots_df = spark.createDataFrame(
-        gen.robots_rules(n_hosts=60, seed=9),
-        schema="host string, path_prefix string, allow boolean",
+    # REP gate over raw robots.txt bodies — the engine's production
+    # default path — so the crawl number benches what a real crawl runs
+    robots_txt = spark.createDataFrame(
+        gen.robots_txt_bodies(n_hosts=60, seed=9),
+        schema="host string, content string",
     )
     # best-of-CRAWL_RUNS (3): the crawl leg is the single most
     # noise-sensitive number on this shared box (identical code measured
@@ -91,7 +93,7 @@ def crawl_bench(spark, n_urls: int = 8000, waves: int = 2, budget: int = 120) ->
     for _ in range(CRAWL_RUNS):
         workdir = tempfile.mkdtemp(prefix="bench_crawl_", dir="/dev/shm")
         eng = CrawlEngine(
-            spark, workdir, robots=robots_df,
+            spark, workdir, robots_txt=robots_txt,
             host_budget=budget, n_salts=16, max_depth=2,
         )
         eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))

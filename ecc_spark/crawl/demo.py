@@ -19,12 +19,16 @@ def main() -> int:
     spark = get_spark("crawl_demo", cpus=cpus)
     urls = [u["url"] for u in gen.frontier_urls(n_urls, n_hosts=25, seed=5)]
     robots = gen.robots_rules(n_hosts=25, seed=9)
-    robots_df = spark.createDataFrame(
-        robots, schema="host string, path_prefix string, allow boolean"
+    # the engine default is the RFC 9309 REP gate over RAW robots.txt
+    # bodies; gen.robots_txt_bodies is decision-equivalent to the prefix
+    # table, so crawl-order equality vs the prefix-rule reference
+    # crawler below doubles as an REP-vs-prefix equivalence check
+    robots_txt = spark.createDataFrame(
+        gen.robots_txt_bodies(n_hosts=25, seed=9), schema="host string, content string"
     )
     workdir = tempfile.mkdtemp(prefix="crawl_demo_")
     eng = CrawlEngine(
-        spark, workdir, robots=robots_df, host_budget=8, n_salts=4, max_depth=2,
+        spark, workdir, robots_txt=robots_txt, host_budget=8, n_salts=4, max_depth=2,
     )
     eng.seed(spark.createDataFrame([(u,) for u in urls], schema="url string"))
     res = eng.run(waves)

@@ -292,3 +292,36 @@ def robots_rules(n_hosts: int = 50, seed: int = 9) -> list[dict[str, Any]]:
             rows.append({"host": host, "path_prefix": "/private", "allow": False})
         _ = rng.random()
     return rows
+
+
+def robots_txt_bodies(n_hosts: int = 50, seed: int = 9) -> list[dict[str, Any]]:
+    """Raw robots.txt bodies (host, content) — the REP-gate analog of
+    ``robots_rules``: under RFC 9309 semantics (longest match, allow
+    wins ties, no match ⇒ allow) these bodies yield EXACTLY the same
+    allow/deny decisions as the prefix table on any URL, because every
+    rule is a plain Disallow prefix with no wildcards.  The bodies also
+    carry a distractor ``googlebot`` group (different rules) so the REP
+    agent-group selection is exercised, not just the matcher.
+    """
+    bodies = []
+    for row_host, prefixes in _robots_prefixes_by_host(n_hosts, seed).items():
+        lines = [
+            "# synthetic robots.txt (ecc_spark.gen)",
+            "User-agent: googlebot",
+            "Disallow: /nothing-we-crawl",
+            "",
+            "User-agent: ecc-spark",
+            "User-agent: *",
+        ]
+        lines += [f"Disallow: {p}" for p in prefixes] or ["Disallow:"]
+        bodies.append({"host": row_host, "content": "\n".join(lines) + "\n"})
+    return bodies
+
+
+def _robots_prefixes_by_host(n_hosts: int, seed: int) -> dict[str, list[str]]:
+    by_host: dict[str, list[str]] = {
+        f"host{h}.example.com": [] for h in range(n_hosts)
+    }
+    for r in robots_rules(n_hosts=n_hosts, seed=seed):
+        by_host[r["host"]].append(r["path_prefix"])
+    return by_host

@@ -279,3 +279,33 @@ def test_rep_gate_plan_broadcasts_rules(spark):
     cand = spark.createDataFrame([("h", "http://h/x")], "host string, url string")
     plan = apply_robots_rep(cand, rep)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gen_bodies_decision_equivalent_to_prefix_rules(spark):
+    """gen.robots_txt_bodies is the REP analog of gen.robots_rules: on
+    the synthetic frontier both gates must admit exactly the same URL
+    set (this is what lets bench/demo default to the REP gate while the
+    pure-Python reference crawler keeps prefix rules)."""
+    from ecc_spark import gen
+    from ecc_spark.crawl.canonical import canonicalize_cols
+    from ecc_spark.crawl.robots import apply_robots
+
+    urls = [u["url"] for u in gen.frontier_urls(400, n_hosts=20, seed=5)]
+    raw = spark.createDataFrame([(u,) for u in urls], "url string")
+    cols = canonicalize_cols(raw["url"])
+    cand = raw.select(
+        cols["canonical"].alias("url"), cols["host"].alias("host")
+    )
+    prefix_df = spark.createDataFrame(
+        gen.robots_rules(n_hosts=20, seed=9),
+        "host string, path_prefix string, allow boolean",
+    )
+    rep = parse_robots_txt(
+        spark.createDataFrame(
+            gen.robots_txt_bodies(n_hosts=20, seed=9), "host string, content string"
+        )
+    )
+    via_prefix = {r["url"] for r in apply_robots(cand, prefix_df).collect()}
+    via_rep = {r["url"] for r in apply_robots_rep(cand, rep).collect()}
+    assert via_rep == via_prefix
+    assert 0 < len(via_rep) < 400  # gate is non-vacuous both ways
