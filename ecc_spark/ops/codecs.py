@@ -1257,9 +1257,11 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
     LOGICAL SCREEN: each image descriptor's region is composited onto
     the running canvas (GCE transparent-index pixels leave the canvas
     through — the delta encoding animated GIFs use), so every returned
-    frame is what a viewer displays, not a partial patch. Global +
-    local color tables, extension skipping, real LZW, interlaced row
-    order."""
+    frame is what a viewer displays, not a partial patch. GCE disposal
+    methods are honored: 0/1 leave the frame in place, 2 clears the
+    frame's region to the background color before the next frame, 3
+    restores the canvas that preceded the frame. Global + local color
+    tables, extension skipping, real LZW, interlaced row order."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack("<HH", payload[6:10])
@@ -1277,6 +1279,7 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
     canvas = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
     frames: list = []
     transparent: int | None = None
+    disposal = 0
     while i < len(payload):
         b = payload[i]
         if b == 0x21:  # extension: label byte + data sub-blocks
@@ -1285,6 +1288,7 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
             if label == 0xF9 and payload[i] >= 4:  # graphic control
                 gflags = payload[i + 1]
                 transparent = payload[i + 4] if gflags & 1 else None
+                disposal = (gflags >> 2) & 7
             while payload[i]:
                 i += 1 + payload[i]
             i += 1
@@ -1321,6 +1325,7 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
             region = canvas[y0 : y0 + ih, x0 : x0 + iw]
             if region.shape[:2] != (ih, iw):
                 raise ValueError("GIF frame region exceeds the logical screen")
+            before = canvas.copy() if disposal == 3 else None
             px = ct[idx]
             if transparent is not None:
                 mask = idx != transparent
@@ -1328,7 +1333,14 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
             else:
                 region[:] = px
             frames.append(canvas.copy())
+            # dispose AFTER the displayed frame is recorded: the method
+            # says what the NEXT frame composites over
+            if disposal == 2:  # restore to background color
+                canvas[y0 : y0 + ih, x0 : x0 + iw] = bg
+            elif disposal == 3 and before is not None:  # restore previous
+                canvas = before
             transparent = None
+            disposal = 0
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
             continue

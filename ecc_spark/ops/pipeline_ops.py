@@ -173,46 +173,63 @@ def interleave_stream(docs: DataFrame) -> DataFrame:
     recorded next to its media_ref — the alignment a trainer needs to
     splice image embeddings into the token sequence.
 
-    Pure JVM, one row-local pass: a single F.aggregate over the span
-    array threads (tokens-so-far, media-so-far) through a struct
-    accumulator, so token positions are exact without a second scan or
-    any UDF. Composes with any partitioning; no shuffle.
+    Pure JVM, row-local, LINEAR in token count: per-span token arrays
+    are materialized once (F.transform) and flattened once (F.flatten);
+    sentinel positions come from an exclusive prefix sum over the
+    per-span SIZES only — the accumulator copies int arrays of length
+    n_spans, never the token text, so long span-heavy documents don't
+    pay the O(n_spans × n_tokens) concat-rebuild an accumulator over
+    tokens would. Composes with any partitioning; no shuffle, no UDF.
     """
     span_toks = lambda s: F.when(  # noqa: E731
         s["kind"] == "media", F.array(F.lit(MEDIA_SENTINEL))
     ).otherwise(
         # SPAN.text is nullable; split(null) -> null would null the
-        # whole accumulator (concat with null) and silently erase the
+        # flattened stream (concat with null) and silently erase the
         # document's entire stream
         F.filter(
             F.split(F.coalesce(s["text"], F.lit("")), r"\s+"), lambda x: x != ""
         )
     )
-    acc0 = F.struct(
-        F.lit([]).cast("array<string>").alias("toks"),
-        F.lit([]).cast("array<struct<tok_pos:int,media_ref:string>>").alias("media"),
-    )
-    merge = lambda acc, s: F.struct(  # noqa: E731
-        F.concat(acc["toks"], span_toks(s)).alias("toks"),
-        F.when(
-            s["kind"] == "media",
-            F.concat(
-                acc["media"],
-                F.array(
-                    F.struct(
-                        F.size(acc["toks"]).cast("int").alias("tok_pos"),
-                        s["media_ref"].alias("media_ref"),
-                    )
+    # offs[i] = number of tokens contributed by spans[0..i): ints only
+    prefix = F.aggregate(
+        F.col("sizes"),
+        F.struct(
+            F.lit([]).cast("array<int>").alias("o"), F.lit(0).alias("t")
+        ),
+        lambda a, s: F.struct(
+            F.concat(a["o"], F.array(a["t"].cast("int"))).alias("o"),
+            (a["t"] + s).alias("t"),
+        ),
+    )["o"]
+    media = F.transform(
+        F.filter(
+            F.zip_with(
+                "spans",
+                F.col("offs"),
+                lambda s, o: F.struct(
+                    s["kind"].alias("kind"),
+                    o.alias("tok_pos"),
+                    s["media_ref"].alias("media_ref"),
                 ),
             ),
-        )
-        .otherwise(acc["media"])
-        .alias("media"),
+            lambda z: z["kind"] == "media",
+        ),
+        lambda z: F.struct(
+            z["tok_pos"].alias("tok_pos"), z["media_ref"].alias("media_ref")
+        ),
     )
-    return docs.filter(F.col("spans").isNotNull()).select(
-        "doc_id",
-        F.aggregate("spans", acc0, merge).alias("s"),
-    ).select("doc_id", F.col("s.toks").alias("tokens"), F.col("s.media").alias("media"))
+    return (
+        docs.filter(F.col("spans").isNotNull())
+        .select("doc_id", "spans", F.transform("spans", span_toks).alias("per"))
+        .withColumn("sizes", F.transform("per", F.size))
+        .withColumn("offs", prefix)
+        .select(
+            "doc_id",
+            F.flatten("per").alias("tokens"),
+            media.alias("media"),
+        )
+    )
 
 
 def interleaved_chunks(

@@ -616,3 +616,63 @@ def test_gif_animation_frames_composite():
     # untouched rows identical; decode_gif = first frame
     assert f2[0].tolist() == f1[0].tolist()
     assert decode_gif(payload).tolist() == f1.tolist()
+
+
+def test_gif_disposal_background_and_previous():
+    """GCE disposal methods: method 2 clears the frame's region to the
+    background color before the next frame composites; method 3 restores
+    the pre-frame canvas. A 3-frame animation where frame 2 uses each
+    method in turn pins what frame 3 sees underneath."""
+    from ecc_spark.ops.codecs import _lzw_encode, decode_gif_frames
+
+    def img_block(x0, y0, iw, ih, indices, mcs=2):
+        out = bytearray(b"\x2c" + struct.pack("<HHHH", x0, y0, iw, ih))
+        out.append(0)
+        out.append(mcs)
+        lzw = _lzw_encode(bytes(indices), mcs)
+        for j in range(0, len(lzw), 255):
+            out.append(len(lzw[j : j + 255]))
+            out += lzw[j : j + 255]
+        out.append(0)
+        return bytes(out)
+
+    def gce(disposal, transparent=None):
+        gflags = (disposal << 2) | (1 if transparent is not None else 0)
+        return b"\x21\xf9\x04" + bytes(
+            [gflags, 0, 0, transparent if transparent is not None else 0, 0]
+        )
+
+    gct = bytes([5, 5, 5, 0, 0, 0, 200, 0, 0, 0, 200, 0])  # bg=idx0 gray-ish
+    head = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x81, 0, 0]) + gct
+
+    # frame1 paints the whole 2x2 screen with idx1 (black);
+    # frame2 paints (0,0) with idx2 (red) under disposal D;
+    # frame3 paints (1,1) with idx3 (green), transparent elsewhere? no —
+    # frame3 is a 1x1 patch at (1,1), so position (0,0) in frame 3 shows
+    # whatever D left behind.
+    def build(disposal):
+        return (
+            head
+            + img_block(0, 0, 2, 2, [1, 1, 1, 1])
+            + gce(disposal)
+            + img_block(0, 0, 1, 1, [2])
+            + img_block(1, 1, 1, 1, [3])
+            + b"\x3b"
+        )
+
+    # disposal 0 (no-op): frame 3 keeps the red pixel
+    f = decode_gif_frames(build(0))
+    assert f[2][0, 0].tolist() == [200, 0, 0]
+    # disposal 2: region restored to BACKGROUND color (gct[0]) after frame 2
+    f = decode_gif_frames(build(2))
+    assert f[1][0, 0].tolist() == [200, 0, 0]  # displayed frame unaffected
+    assert f[2][0, 0].tolist() == [5, 5, 5]
+    # disposal 3: canvas restored to the PRE-frame-2 state (black)
+    f = decode_gif_frames(build(3))
+    assert f[1][0, 0].tolist() == [200, 0, 0]
+    assert f[2][0, 0].tolist() == [0, 0, 0]
+    # pixels outside the disposed region never change
+    for d in (0, 2, 3):
+        ff = decode_gif_frames(build(d))
+        assert ff[2][1, 1].tolist() == [0, 200, 0]
+        assert ff[2][0, 1].tolist() == [0, 0, 0]
