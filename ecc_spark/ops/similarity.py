@@ -546,6 +546,67 @@ def ann_pq_adc(
     )
 
 
+def semantic_dedup(
+    spark: SparkSession,
+    sf: str,
+    k: int = 8,
+    n_iter: int = 2,
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, find cosine-similar
+    pairs WITHIN each cluster only, group them into duplicate components,
+    and keep one representative per component — the member FARTHEST from
+    its cluster centroid (the paper's keep-low-centroid-similarity rule,
+    which preserves the cluster's outer shell and drops its dense core).
+
+    Scale shape (the whole point of the paper): the pairwise step is
+    quadratic only within a k-means cell, never globally — clustering is
+    the banding function here, exactly as LSH bands are for MinHash.
+    Plan: Lloyd training (see kmeans_lloyd — broadcast assignments +
+    tiny (cell,pos) aggs), one cell-keyed equi-join for pairs (shuffle
+    carries embeddings once, keyed uniformly by cell), min-label
+    connected components over the τ-edges (O(log d) rounds), then a
+    component-keyed window for the representative. At 100 TB, k scales
+    with corpus size to hold cell cardinality roughly constant, which
+    bounds per-cell pair fan-out — same knob FAISS/SemDeDup use.
+
+    Returns one row per vector: (vec_id, cell, cluster_id, keep) —
+    ``keep`` marks the retained representative (singleton components are
+    trivially kept), so ``filter(keep)`` is the deduplicated corpus.
+    Rows-only ◦: Lloyd training is iterative (no DuckDB twin); pinned by
+    the pure-Python mirror + structure tests in tests/test_training_ops.py.
+    """
+    from ecc_spark.ops.dedup import connected_components
+
+    e = load(spark, sf, "embeddings")
+    cent, assigned = kmeans_lloyd(e, k=k, n_iter=n_iter)
+    ec = e.select("vec_id", "embedding").join(assigned.select("vec_id", "cell"), "vec_id")
+    a = ec.select(F.col("vec_id").alias("a"), "cell", F.col("embedding").alias("ea"))
+    b = ec.select(F.col("vec_id").alias("b"), "cell", F.col("embedding").alias("eb"))
+    sim = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.round(sim, 6) >= tau)
+        .select("a", "b")
+    )
+    comp = connected_components(ec.select(F.col("vec_id").alias("id")), edges)
+    csim = _dot("embedding", "centroid") / (_norm("embedding") * _norm("centroid"))
+    w = W.partitionBy("component").orderBy(F.round(csim, 6).asc(), "vec_id")
+    return (
+        ec.join(comp, ec.vec_id == comp.id)
+        .join(F.broadcast(cent), "cell")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("component").cast("long").alias("cluster_id"),
+            (F.col("rnk") == 1).alias("keep"),
+        )
+    )
+
+
 QUERIES.update(
     {
         "ann_topk_cosine": ann_topk_cosine,
@@ -558,6 +619,9 @@ QUERIES.update(
         # rows-only: PQ quantization is approximate by construction —
         # pinned by exactness (k_cells >= n) and blob-recall tests
         "ann_pq_adc": ann_pq_adc,
+        # rows-only: built on Lloyd training (iterative, no DuckDB twin);
+        # pinned by the pure-Python mirror in tests/test_training_ops.py
+        "semantic_dedup": semantic_dedup,
         "embedding_near_dup": embedding_near_dup,
     }
 )

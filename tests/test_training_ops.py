@@ -808,3 +808,124 @@ def test_video_sample_index_includes_animated_gif_frames(spark):
     rows = video_sample_index(media).collect()
     assert {(r["media_ref"], r["sample_i"]) for r in rows} == {("a.gif", 0), ("a.gif", 1)}
     assert all((r["width"], r["height"]) == (2, 2) for r in rows)
+
+
+def test_semantic_dedup_matches_pure_python_mirror(spark, tmp_path):
+    """SemDeDup == an independent pure-Python recompute of the whole
+    chain: Lloyd k-means (first-k seed, assign -> re-average -> final
+    reassign, 6-dp rounding at every engine rounding point), within-cell
+    cosine>=tau edges, min-label components, keep = farthest from the
+    member's own cell centroid. The fixture is built with >=1e-3 slack
+    at every decision boundary so distributed-vs-sequential float-sum
+    order (last-ulp before the 6-dp round) cannot flip a decision."""
+    import itertools
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from ecc_spark.ops.similarity import semantic_dedup
+
+    def r6(x: float) -> float:
+        # Spark F.round = BigDecimal HALF_UP on the exact double value
+        return float(
+            Decimal(float(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    # --- fixture: 12 two-hot 6-d patterns (pairwise cos <= ~0.52), the
+    # first 3 patterns each planted with 2 extra near-copies (cos ~1.0);
+    # tau=0.95 sits in the wide gap between the two regimes
+    rng = random.Random(13)
+    pats = list(itertools.combinations(range(6), 2))[:12]
+    bases = []
+    for i, j in pats:
+        base = [0.0] * 6
+        base[i] = base[j] = 10.0
+        bases.append([x + rng.uniform(-0.05, 0.05) for x in base])
+    # one copy of every pattern FIRST so the engine's first-k seeding
+    # starts from k distinct patterns (seeding from near-copies would
+    # make degenerate, boundary-separated cells), then the extra
+    # near-copies that form the planted duplicate triples
+    vecs: list[tuple[int, list[float]]] = []
+    vid = 0
+    for base in bases:
+        vecs.append((vid, [x + rng.uniform(-0.01, 0.01) for x in base]))
+        vid += 1
+    for base in bases[:3]:
+        for _ in range(2):
+            vecs.append((vid, [x + rng.uniform(-0.01, 0.01) for x in base]))
+            vid += 1
+    rows = [(i, [float(np.float32(x)) for x in v], 0) for i, v in vecs]
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    k, n_iter, tau = 4, 2, 0.95
+    got = {
+        r["vec_id"]: (r["cell"], r["cluster_id"], r["keep"])
+        for r in semantic_dedup(spark, str(tmp_path), k=k, n_iter=n_iter, tau=tau).collect()
+    }
+
+    # --- mirror: embeddings as float32-then-double, like parquet storage
+    emb = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in vecs}
+
+    def cos(a, b):
+        return float(np.dot(a, b)) / (
+            float(np.sqrt(np.dot(a, a))) * float(np.sqrt(np.dot(b, b)))
+        )
+
+    def assign(cents):
+        out = {}
+        for i, e in emb.items():
+            scored = sorted(
+                ((r6(cos(e, c)), -cell) for cell, c in cents.items()), reverse=True
+            )
+            margin = scored[0][0] - scored[1][0]
+            assert abs(margin) > 1e-4 or scored[0][1] != scored[1][1], (
+                "fixture lost its decision slack"
+            )
+            out[i] = -scored[0][1]
+        return out
+
+    cents = {
+        cell + 1: np.array([r6(x) for x in emb[i]])
+        for cell, i in enumerate(sorted(emb)[:k])
+    }
+    for _ in range(n_iter):
+        a = assign(cents)
+        nxt = {}
+        for cell in set(a.values()):
+            members = [emb[i] for i in emb if a[i] == cell]
+            nxt[cell] = np.array([r6(np.mean([m[d] for m in members])) for d in range(6)])
+        cents = nxt
+    a = assign(cents)
+
+    parent = {i: i for i in emb}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, jj in itertools.combinations(sorted(emb), 2):
+        if a[i] == a[jj] and r6(cos(emb[i], emb[jj])) >= tau:
+            ra, rb = find(i), find(jj)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in emb}
+    keep_of = {}
+    for c in set(comp.values()):
+        members = [i for i in emb if comp[i] == c]
+        keep_of[c] = min(members, key=lambda i: (r6(cos(emb[i], cents[a[i]])), i))
+    want = {i: (a[i], comp[i], i == keep_of[comp[i]]) for i in emb}
+
+    assert got == want
+    # structure: 3 planted triple-groups, each keeping exactly one member
+    sizes = {}
+    for _, (cell, cid, _k) in got.items():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    assert sorted(v for v in sizes.values() if v > 1) == [3, 3, 3]
+    for cid in sizes:
+        kept = [v for v, (_, c, kp) in got.items() if c == cid and kp]
+        assert len(kept) == 1, (cid, kept)
