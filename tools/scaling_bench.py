@@ -1,24 +1,33 @@
 """Two-cluster-size scaling evidence (BASELINE.json north rule).
 
 Runs the identical crawl job at local[N] and local[4N] on the same input
-(fresh subprocess per parallelism level — Spark masters can't change
-in-process) and reports throughput at both + scaling efficiency into
-BENCH/BASELINE.md. Efficiency = throughput(4N) / throughput(N); the
-criterion is ≥ 0.8 of ideal... measured against the realistic local-mode
+and reports throughput at both + scaling efficiency. The legs launch the
+way the north rule specifies — ``spark-submit --py-files`` with ONLY the
+zipped package artifact (tools/submit_crawl.py), one fresh JVM per leg —
+falling back to an in-process ``python -c`` child when no spark-submit
+binary exists. Efficiency = throughput(4N) / throughput(N) / 4; the
+criterion is >= 0.8 of ideal, measured against the realistic local-mode
 proxy where 4N threads share one JVM/host (documented in the output).
 
-Usage: python tools/scaling_bench.py [N] [n_urls] [waves] [budget]
+Under spark-submit both legs run with the SAME spark.sql.shuffle.partitions
+(the session factory's cluster-mode default): fixed logical work, only
+parallelism varies — the cleanest N-vs-4N experiment.
+
+Usage: python tools/scaling_bench.py [N] [n_urls] [waves] [budget] [repeats]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
 
 _CHILD = """
 import json, sys, tempfile, time
@@ -49,24 +58,67 @@ spark.stop()
 """
 
 
-def run_at(cpus: int, n_urls: int, waves: int, budget: int, repeats: int = 2) -> dict:
+def _parse_result(stdout: str, stderr: str) -> dict:
+    res = None
+    for line in stdout.splitlines():
+        if line.startswith("RESULT "):
+            res = json.loads(line[len("RESULT "):])
+    if res is None:
+        raise RuntimeError(f"no RESULT line; stderr tail: {stderr[-2000:]}")
+    return res
+
+
+def _run_submit_leg(zip_path: str, cpus: int, n_urls: int, waves: int, budget: int) -> dict:
+    """One leg through the north rule's launch path: spark-submit
+    --py-files from a bare cwd, PYTHONPATH scrubbed — the job sees only
+    the packaged artifact."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CLUSTER"] = "1"  # --master from the submit wins
+    env.pop("PYTHONPATH", None)
+    workdir = tempfile.mkdtemp(prefix="scal_", dir="/dev/shm")
+    cwd = tempfile.mkdtemp(prefix="scal_cwd_")
+    try:
+        out = subprocess.run(
+            [
+                SPARK_SUBMIT, "--master", f"local[{cpus}]",
+                "--py-files", zip_path,
+                os.path.join(REPO, "tools", "submit_crawl.py"),
+                "--n-urls", str(n_urls), "--n-hosts", "60",
+                "--waves", str(waves), "--budget", str(budget),
+                "--n-salts", "16", "--max-depth", "2",
+                "--workdir", workdir,
+            ],
+            capture_output=True, text=True, timeout=3600, cwd=cwd, env=env,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"spark-submit leg failed: {out.stderr[-2000:]}")
+        res = _parse_result(out.stdout, out.stderr)
+        res["cpus"] = cpus
+        return res
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        shutil.rmtree(cwd, ignore_errors=True)
+
+
+def _run_inprocess_leg(cpus: int, n_urls: int, waves: int, budget: int) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, n_urls=n_urls, waves=waves, budget=budget)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600, cwd=REPO,
+    )
+    return _parse_result(out.stdout, out.stderr)
+
+
+def run_at(cpus: int, n_urls: int, waves: int, budget: int, repeats: int = 2,
+           zip_path: str | None = None) -> dict:
     """Best-of-``repeats`` (the sandbox shows ±30% run-to-run noise; the
     best run is the least-interfered measurement of the same fixed work)."""
     best = None
     for _ in range(repeats):
-        code = _CHILD.format(
-            repo=REPO, cpus=cpus, n_urls=n_urls, waves=waves, budget=budget
-        )
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
-            cwd=REPO,
-        )
-        res = None
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                res = json.loads(line[len("RESULT "):])
-        if res is None:
-            raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+        if zip_path:
+            res = _run_submit_leg(zip_path, cpus, n_urls, waves, budget)
+        else:
+            res = _run_inprocess_leg(cpus, n_urls, waves, budget)
         if best is None or res["throughput"] > best["throughput"]:
             best = res
     return best
@@ -79,21 +131,28 @@ def main() -> int:
     budget = int(sys.argv[4]) if len(sys.argv) > 4 else 300
     repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     t0 = time.time()
-    r_n = run_at(n, n_urls, waves, budget, repeats)
-    r_4n = run_at(4 * n, n_urls, waves, budget, repeats)
+    zip_path = None
+    launch = "in-process python child"
+    if os.path.exists(SPARK_SUBMIT):
+        zip_path = os.path.join(REPO, "dist", "ecc_spark.zip")
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_pyfiles_zip.py"), zip_path],
+            check=True, capture_output=True,
+        )
+        launch = "spark-submit --py-files dist/ecc_spark.zip (bare cwd, scrubbed PYTHONPATH)"
+    r_n = run_at(n, n_urls, waves, budget, repeats, zip_path=zip_path)
+    r_4n = run_at(4 * n, n_urls, waves, budget, repeats, zip_path=zip_path)
     assert r_n["seen"] == r_4n["seen"], "outputs differ across parallelism!"
     speedup = r_4n["throughput"] / r_n["throughput"]
     eff = speedup / 4.0  # parallel efficiency: fraction of ideal 4x
-    md = f"""# BENCH — measured numbers (round artifacts)
-
-## Two-cluster-size scaling (north-rule criterion)
+    md = f"""## Two-cluster-size scaling (north-rule criterion) — fresh measurement
 
 Identical crawl job (seed {n_urls} URLs, {waves} waves, host budget
 {budget}, Zipf-skewed hosts, adaptive seen-set dedup — exact bucketed
 anti-join below the bloom threshold, bloom beyond — robots gating) at two
 parallelism levels — the sandbox proxy for N vs 4N executors
 (single JVM, shared host; real clusters add network shuffle but also
-4x the memory bandwidth):
+4x the memory bandwidth). Launch path: {launch}.
 
 | parallelism | wall sec | URLs scheduled | spans extracted | URLs+spans/sec |
 |---|---|---|---|---|
@@ -102,18 +161,15 @@ parallelism levels — the sandbox proxy for N vs 4N executors
 
 **Speedup (throughput 4N / throughput N): {speedup:.2f}x — scaling
 efficiency (speedup / ideal 4x): {eff:.2f}**
-(criterion: two-cluster-size scaling efficiency ≥ 0.8; identical output
+(criterion: two-cluster-size scaling efficiency >= 0.8; identical output
 verified — seen-set size {r_n["seen"]} at both levels).
-
-Reference single-node comparison (BASELINE.md): the reference needs
-">24h" for a full-Wikipedia phase-1 on a multiprocessing pool and is
-single-threaded in phase 2; this engine's equivalent pipelines are
-measured per-round in BENCH_r{{N}}.json (`bench.py`).
 
 Generated by tools/scaling_bench.py in {round(time.time() - t0)}s.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as fh:
+    # own artifact only — BENCH/BASELINE.md is curated by hand and must
+    # never be clobbered by a tool run (it carries multi-round history)
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w", encoding="utf-8") as fh:
         fh.write(md)
     print(md)
     return 0
