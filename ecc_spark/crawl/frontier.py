@@ -51,6 +51,7 @@ from ecc_spark.crawl.canonical import canonicalize_cols
 from ecc_spark.crawl.checkpoint import SnapshotTable
 from ecc_spark.crawl.politeness import schedule_budget
 from ecc_spark.crawl.robots import apply_robots, apply_robots_rep, parse_robots_txt
+from ecc_spark.crawl.cuckoo import build_cuckoo, collect_cuckoo, merge_into
 from ecc_spark.crawl.seen import build_bloom, filter_unseen
 
 
@@ -105,8 +106,10 @@ class CrawlEngine:
         n_salts: int = 16,
         max_depth: int = 3,
         use_bloom: bool | str = "auto",
+        seen_filter: str = "bloom",
         bloom_buckets: int = 64,
         bloom_bits: int = 1 << 20,
+        cuckoo_slots: int = 1 << 16,
         bloom_broadcast_cap: int = 1 << 30,
         bloom_min_seen: int = 2_000_000,
         n_buckets: int = 16,
@@ -157,15 +160,28 @@ class CrawlEngine:
         # choice — the bloom never changes results (maybe-seen rows always
         # settle in the exact join). True = always, False = never.
         self.use_bloom = use_bloom
+        # which approximate prefilter backs the fast path: "bloom"
+        # (default — cheapest build, vectorized bit sets) or "cuckoo"
+        # (deletable fingerprints, fewer probes per lookup; see
+        # crawl/cuckoo.py for the trade). Identical correctness contract:
+        # either filter only routes rows to the exact anti-join.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+        self.seen_filter = seen_filter
         self.bloom_min_seen = bloom_min_seen
         self.bloom_buckets = bloom_buckets
         self.bloom_bits = bloom_bits
-        # path selection BY SIZE: the whole filter is bloom_buckets×m/8
-        # bytes by construction; beyond the broadcast cap it must never be
-        # driver/node-resident → sharded cogroup over a delta table
-        self.bloom_sharded = (
-            bool(use_bloom) and bloom_buckets * (bloom_bits // 8) > bloom_broadcast_cap
+        self.cuckoo_slots = cuckoo_slots
+        # path selection BY SIZE: the whole filter's footprint is known by
+        # construction (bloom: B×m/8 bytes; cuckoo: B×slots×4×2 bytes);
+        # beyond the broadcast cap it must never be driver/node-resident →
+        # sharded cogroup over a delta table
+        filter_bytes = (
+            bloom_buckets * (bloom_bits // 8)
+            if seen_filter == "bloom"
+            else bloom_buckets * cuckoo_slots * 4 * 2
         )
+        self.bloom_sharded = bool(use_bloom) and filter_bytes > bloom_broadcast_cap
         # ALL state tables are append-only delta snapshots — commits are
         # O(delta), never O(total). The frontier in particular must not be
         # rewritten per wave (a 10^10-row rewrite every wave would dwarf
@@ -537,9 +553,14 @@ class CrawlEngine:
             src = ok_rows
             if self.t_bloom.latest_id() is None and seen_before > 0:
                 src = new_seen
-            delta = build_bloom(
-                src.select("url_hash"), self.bloom_buckets, self.bloom_bits
-            )
+            if self.seen_filter == "cuckoo":
+                delta = build_cuckoo(
+                    src.select("url_hash"), self.bloom_buckets, self.cuckoo_slots
+                )
+            else:
+                delta = build_bloom(
+                    src.select("url_hash"), self.bloom_buckets, self.bloom_bits
+                )
             self.t_bloom.commit(delta, wave=wave, rows=self.bloom_buckets)
             bloom = self.t_bloom.read()  # unions deltas incl. this wave's
         elif engage_bloom:
@@ -552,16 +573,26 @@ class CrawlEngine:
             src = (
                 new_seen if (self._bloom is None and wave > 0) else ok_rows
             ).select("url_hash")
-            delta = build_bloom(src, self.bloom_buckets, self.bloom_bits).collect()
-            if self._bloom is None:
-                self._bloom = {}
-            for r in delta:
-                arr = np.frombuffer(r["bitmap"], dtype=np.uint8)
-                prev = self._bloom.get(r["bucket"])
-                self._bloom[r["bucket"]] = (
-                    arr.tobytes() if prev is None
-                    else np.bitwise_or(np.frombuffer(prev, dtype=np.uint8), arr).tobytes()
+            if self.seen_filter == "cuckoo":
+                delta_ct = collect_cuckoo(
+                    build_cuckoo(src, self.bloom_buckets, self.cuckoo_slots),
+                    self.cuckoo_slots,
                 )
+                if self._bloom is None:
+                    self._bloom = delta_ct
+                else:
+                    self._bloom = merge_into(self._bloom, delta_ct)
+            else:
+                delta = build_bloom(src, self.bloom_buckets, self.bloom_bits).collect()
+                if self._bloom is None:
+                    self._bloom = {}
+                for r in delta:
+                    arr = np.frombuffer(r["bitmap"], dtype=np.uint8)
+                    prev = self._bloom.get(r["bucket"])
+                    self._bloom[r["bucket"]] = (
+                        arr.tobytes() if prev is None
+                        else np.bitwise_or(np.frombuffer(prev, dtype=np.uint8), arr).tobytes()
+                    )
             if self._bloom_bc is not None:
                 self._bloom_bc.unpersist()
             self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)

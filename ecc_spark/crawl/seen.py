@@ -128,15 +128,28 @@ def filter_unseen(
     Callers that loop (the wave loop) should pass a Broadcast they manage
     and ``unpersist()`` it after the wave — passing a raw dict creates a
     fresh broadcast per call, which leaks over long crawls.
+
+    Cuckoo-filter transports (``cuckoo.CuckooTables`` or a Broadcast of
+    one; a DataFrame with a ``table`` column for the sharded path) are
+    accepted under the same contract — see ``ecc_spark.crawl.cuckoo``.
     """
     if bloom is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
 
     if isinstance(bloom, DataFrame):
+        if "table" in bloom.columns:  # cuckoo shards (bucket, table, saturated)
+            from ecc_spark.crawl import cuckoo as _cuckoo
+
+            return _cuckoo.filter_unseen_sharded(candidates, seen, bloom, n_buckets)
         return _filter_unseen_sharded(candidates, seen, bloom, n_buckets)
 
     spark = candidates.sparkSession
     bc = bloom if hasattr(bloom, "value") else spark.sparkContext.broadcast(bloom)
+    from ecc_spark.crawl import cuckoo as _cuckoo
+
+    payload = bloom if not hasattr(bloom, "value") else bc.value
+    if isinstance(payload, _cuckoo.CuckooTables):
+        return _settle(_cuckoo.flag_maybe_broadcast(candidates, bc, n_buckets), seen)
 
     @F.pandas_udf(T.BooleanType())
     def maybe_contains(url_hash: pd.Series) -> pd.Series:

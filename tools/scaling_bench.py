@@ -9,9 +9,15 @@ binary exists. Efficiency = throughput(4N) / throughput(N) / 4; the
 criterion is >= 0.8 of ideal, measured against the realistic local-mode
 proxy where 4N threads share one JVM/host (documented in the output).
 
-Under spark-submit both legs run with the SAME spark.sql.shuffle.partitions
-(the session factory's cluster-mode default): fixed logical work, only
-parallelism varies — the cleanest N-vs-4N experiment.
+Two shuffle-partition protocols (SCALING_PROTOCOL env: tuned|fixed):
+
+- ``tuned`` (default): each leg runs spark.sql.shuffle.partitions = 2x its
+  core count — how an operator configures each cluster size (and the
+  rounds-1-4 protocol, so numbers stay comparable).
+- ``fixed``: both legs run the session factory's cluster-mode default
+  (64) — identical logical plan, only parallelism varies. Stricter, but
+  charges the small cluster for task-scheduling overhead it would never
+  be configured with.
 
 Usage: python tools/scaling_bench.py [N] [n_urls] [waves] [budget] [repeats]
 """
@@ -68,7 +74,8 @@ def _parse_result(stdout: str, stderr: str) -> dict:
     return res
 
 
-def _run_submit_leg(zip_path: str, cpus: int, n_urls: int, waves: int, budget: int) -> dict:
+def _run_submit_leg(zip_path: str, cpus: int, n_urls: int, waves: int, budget: int,
+                    shuffle_partitions: int | None = None) -> dict:
     """One leg through the north rule's launch path: spark-submit
     --py-files from a bare cwd, PYTHONPATH scrubbed — the job sees only
     the packaged artifact."""
@@ -77,6 +84,10 @@ def _run_submit_leg(zip_path: str, cpus: int, n_urls: int, waves: int, budget: i
     env.pop("PYTHONPATH", None)
     workdir = tempfile.mkdtemp(prefix="scal_", dir="/dev/shm")
     cwd = tempfile.mkdtemp(prefix="scal_cwd_")
+    extra = (
+        ["--shuffle-partitions", str(shuffle_partitions)]
+        if shuffle_partitions else []
+    )
     try:
         out = subprocess.run(
             [
@@ -86,7 +97,7 @@ def _run_submit_leg(zip_path: str, cpus: int, n_urls: int, waves: int, budget: i
                 "--n-urls", str(n_urls), "--n-hosts", "60",
                 "--waves", str(waves), "--budget", str(budget),
                 "--n-salts", "16", "--max-depth", "2",
-                "--workdir", workdir,
+                "--workdir", workdir, *extra,
             ],
             capture_output=True, text=True, timeout=3600, cwd=cwd, env=env,
         )
@@ -110,17 +121,22 @@ def _run_inprocess_leg(cpus: int, n_urls: int, waves: int, budget: int) -> dict:
 
 
 def run_at(cpus: int, n_urls: int, waves: int, budget: int, repeats: int = 2,
-           zip_path: str | None = None) -> dict:
+           zip_path: str | None = None,
+           shuffle_partitions: int | None = None) -> dict:
     """Best-of-``repeats`` (the sandbox shows ±30% run-to-run noise; the
     best run is the least-interfered measurement of the same fixed work)."""
     best = None
+    legs = []
     for _ in range(repeats):
         if zip_path:
-            res = _run_submit_leg(zip_path, cpus, n_urls, waves, budget)
+            res = _run_submit_leg(zip_path, cpus, n_urls, waves, budget,
+                                  shuffle_partitions)
         else:
             res = _run_inprocess_leg(cpus, n_urls, waves, budget)
+        legs.append(res["seconds"])
         if best is None or res["throughput"] > best["throughput"]:
             best = res
+    best["all_legs_sec"] = legs
     return best
 
 
@@ -133,6 +149,7 @@ def main() -> int:
     t0 = time.time()
     zip_path = None
     launch = "in-process python child"
+    protocol = os.environ.get("SCALING_PROTOCOL", "tuned")
     if os.path.exists(SPARK_SUBMIT):
         zip_path = os.path.join(REPO, "dist", "ecc_spark.zip")
         subprocess.run(
@@ -140,8 +157,16 @@ def main() -> int:
             check=True, capture_output=True,
         )
         launch = "spark-submit --py-files dist/ecc_spark.zip (bare cwd, scrubbed PYTHONPATH)"
-    r_n = run_at(n, n_urls, waves, budget, repeats, zip_path=zip_path)
-    r_4n = run_at(4 * n, n_urls, waves, budget, repeats, zip_path=zip_path)
+    sp_n = sp_4n = None
+    if protocol == "tuned":
+        sp_n, sp_4n = max(2 * n, 8), max(2 * 4 * n, 8)
+        launch += f"; shuffle partitions tuned per leg ({sp_n}/{sp_4n})"
+    else:
+        launch += "; shuffle partitions fixed (cluster-mode default) at both legs"
+    r_n = run_at(n, n_urls, waves, budget, repeats, zip_path=zip_path,
+                 shuffle_partitions=sp_n)
+    r_4n = run_at(4 * n, n_urls, waves, budget, repeats, zip_path=zip_path,
+                  shuffle_partitions=sp_4n)
     assert r_n["seen"] == r_4n["seen"], "outputs differ across parallelism!"
     speedup = r_4n["throughput"] / r_n["throughput"]
     eff = speedup / 4.0  # parallel efficiency: fraction of ideal 4x
@@ -163,6 +188,9 @@ parallelism levels — the sandbox proxy for N vs 4N executors
 efficiency (speedup / ideal 4x): {eff:.2f}**
 (criterion: two-cluster-size scaling efficiency >= 0.8; identical output
 verified — seen-set size {r_n["seen"]} at both levels).
+
+Best-of-{repeats} per level; every leg (sec): local[{n}] {r_n["all_legs_sec"]},
+local[{4 * n}] {r_4n["all_legs_sec"]}.
 
 Generated by tools/scaling_bench.py in {round(time.time() - t0)}s.
 """

@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-depth", type=int, default=2)
     p.add_argument("--workdir", default=None,
                    help="frontier/seen snapshot dir (default: a tempdir)")
+    p.add_argument("--shuffle-partitions", type=int, default=None,
+                   help="spark.sql.shuffle.partitions override; default keeps "
+                        "the session factory's cluster-mode value. On a real "
+                        "cluster you size this to the cluster (2-3x total "
+                        "cores) — pass it per cluster size when comparing N "
+                        "vs 4N the way an operator would configure each")
     p.add_argument("--seed-file", default=None,
                    help="newline-delimited URL list; replaces the synthetic frontier")
     args = p.parse_args(argv)
@@ -43,7 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     from ecc_spark.crawl.frontier import CrawlEngine
     from ecc_spark.session import get_spark
 
-    spark = get_spark("ecc_spark_submit_crawl")
+    spark = get_spark(
+        "ecc_spark_submit_crawl", shuffle_partitions=args.shuffle_partitions
+    )
     workdir = args.workdir or tempfile.mkdtemp(prefix="submit_crawl_")
     if args.seed_file:
         with open(args.seed_file, encoding="utf-8") as fh:
