@@ -12,7 +12,10 @@ measurement): host index = floor(n_hosts * u^5) over a per-id uniform
 hash — host0 absorbs ~22% of the seeds, the same heavy-head shape as
 gen.frontier_urls' Zipf(1.2).
 
-Usage: python tools/stress_crawl.py [n_seeds] [waves] [cpus]
+Usage: python tools/stress_crawl.py [n_seeds] [waves] [cpus] [seen_filter]
+seen_filter: bloom (default) | cuckoo — the north rule names both; a
+cuckoo leg must reproduce the bloom leg's per-wave scheduled/extracted
+counts exactly (the prefilter is advisory, the exact join decides).
 Run ALONE on a quiet box (bench-noise rules apply).
 """
 
@@ -45,6 +48,7 @@ def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     waves = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    seen_filter = sys.argv[4] if len(sys.argv) > 4 else "bloom"
     n_hosts = 2000
     host_budget = 40
 
@@ -67,6 +71,7 @@ def main() -> int:
         host_budget=host_budget,
         n_salts=32,
         max_depth=3,
+        seen_filter=seen_filter,
         # the seen table holds SCHEDULED urls, capped per wave by
         # n_hosts x host_budget (= 80k here); a threshold below that
         # makes the auto-bloom cross mid-crawl (after wave 0), which is
@@ -131,6 +136,7 @@ def main() -> int:
         "total_scheduled": res.total_scheduled,
         "total_extracted": res.total_extracted,
         "seen_rows": seen,
+        "seen_filter": seen_filter,
         "bloom_engaged": bloom_engaged,
         "queue_view_exchange_free": plan_ok,
     }
