@@ -121,16 +121,23 @@ def dedup_lines(
     total_chars = F.aggregate(
         "lines", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
+    # kept indices via array_except (hash-set based, O(n_lines +
+    # n_dropped)) rather than a per-line array_contains scan, which
+    # would be O(n_lines * n_dropped) on exactly the boilerplate-heavy
+    # documents this op targets; array_except preserves the (sorted)
+    # order of its left argument, and F.get is O(1) per index
+    kept_idx = F.when(
+        F.size("lines") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("lines") - 1),
+            F.coalesce("drop_nos", F.array().cast("array<int>")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         docs.join(drop_list, "doc_id", "left")
         .select(
             "doc_id",
-            F.filter(
-                "lines",
-                lambda x, i: ~F.coalesce(
-                    F.array_contains("drop_nos", i), F.lit(False)
-                ),
-            ).alias("kept"),
+            F.transform(kept_idx, lambda i: F.get("lines", i)).alias("kept"),
             F.size("lines").alias("n_lines"),
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
             total_chars.alias("total_chars"),

@@ -84,10 +84,12 @@ def media_dedup(docs: DataFrame, media: DataFrame) -> DataFrame:
     schema).  Non-canonical refs that do not appear in ``media`` pass
     through unchanged.  Deterministic under any partitioning.
     """
+    # hash every blob exactly ONCE: canon derives from the same digests
+    # frame (media_canonical would re-scan media and re-hash content)
     digests = media.select(
         "media_ref", F.sha2("content", 256).alias("digest")
     )
-    canon = media_canonical(media).select("digest", "canon_ref")
+    canon = digests.groupBy("digest").agg(F.min("media_ref").alias("canon_ref"))
     mapping = (
         digests.join(canon, "digest")
         .filter(F.col("media_ref") != F.col("canon_ref"))
@@ -167,28 +169,49 @@ def span_diff(left: DataFrame, right: DataFrame) -> DataFrame:
     status in {'match','mismatch','only_left','only_right'};
     first_diff_idx is the 0-based index of the first differing span
     (== common length when one sequence is a strict prefix of the
-    other), null unless status='mismatch'.
+    other), null unless status='mismatch'.  A doc present with a NULL
+    spans array compares as empty (so null-vs-null and null-vs-[] are
+    'match', null-vs-[span] is 'mismatch' at index 0); only docs absent
+    from a side report only_left/only_right.
     """
 
     def proj(col: str) -> Column:
         # Row-local 64-bit signature per span: the full-outer join then
         # carries (doc_id, array<bigint>) instead of span TEXT — nothing
-        # content-sized ever enters the shuffle.  Null fields coalesce to
-        # a sentinel first because Spark's hash functions pass nulls
-        # through unmixed (hash('a', null) == hash('a')).  A collision
-        # can only mask a real mismatch, at ~2^-64 per span pair.
+        # content-sized ever enters the shuffle.  Each field hashes
+        # alongside its is-null flag because Spark's hash functions pass
+        # nulls through unmixed (hash('a', null) == hash('a')) — the
+        # flags keep (null) and ('') distinct, so a masked mismatch
+        # really does require a ~2^-64 xxhash64 collision.
         return F.transform(
             col,
             lambda s: F.xxhash64(
-                F.coalesce(s["kind"], F.lit("\x00")),
-                F.coalesce(s["text"], F.lit("\x00")),
-                F.coalesce(s["media_ref"], F.lit("\x00")),
+                s["kind"].isNull(),
+                F.coalesce(s["kind"], F.lit("")),
+                s["text"].isNull(),
+                F.coalesce(s["text"], F.lit("")),
+                s["media_ref"].isNull(),
+                F.coalesce(s["media_ref"], F.lit("")),
             ),
         )
 
-    l = left.select("doc_id", proj("spans").alias("pl"))
-    r = right.select("doc_id", proj("spans").alias("pr"))
-    j = l.join(r, "doc_id", "full_outer")
+    # presence flags distinguish "doc absent from a side" from "doc
+    # present with a NULL spans array" (transform(null) is null, so pl/pr
+    # nullity alone cannot tell the two apart); a NULL spans array
+    # compares as empty
+    l = left.select(
+        "doc_id", F.lit(True).alias("inl"), proj("spans").alias("pl")
+    )
+    r = right.select(
+        "doc_id", F.lit(True).alias("inr"), proj("spans").alias("pr")
+    )
+    j = l.join(r, "doc_id", "full_outer").select(
+        "doc_id",
+        "inl",
+        "inr",
+        F.coalesce("pl", F.array().cast("array<bigint>")).alias("pl"),
+        F.coalesce("pr", F.array().cast("array<bigint>")).alias("pr"),
+    )
 
     n_l, n_r = F.size("pl"), F.size("pr")
     common = F.least(n_l, n_r)
@@ -205,8 +228,8 @@ def span_diff(left: DataFrame, right: DataFrame) -> DataFrame:
     # F.get is 0-based and null-on-empty (ANSI-safe, unlike element_at)
     first_prefix_diff = F.get(prefix_diffs, 0) - 1
     status = (
-        F.when(F.col("pl").isNull(), F.lit("only_right"))
-        .when(F.col("pr").isNull(), F.lit("only_left"))
+        F.when(F.col("inl").isNull(), F.lit("only_right"))
+        .when(F.col("inr").isNull(), F.lit("only_left"))
         .when(
             first_prefix_diff.isNull() & (n_l == n_r), F.lit("match")
         )
@@ -215,8 +238,8 @@ def span_diff(left: DataFrame, right: DataFrame) -> DataFrame:
     return j.select(
         "doc_id",
         status.alias("status"),
-        F.when(F.col("pl").isNotNull(), n_l).alias("n_left"),
-        F.when(F.col("pr").isNotNull(), n_r).alias("n_right"),
+        F.when(F.col("inl").isNotNull(), n_l).alias("n_left"),
+        F.when(F.col("inr").isNotNull(), n_r).alias("n_right"),
         F.when(
             status == "mismatch", F.coalesce(first_prefix_diff, common)
         ).alias("first_diff_idx"),
@@ -232,12 +255,9 @@ def span_diff_summary(diff: DataFrame) -> DataFrame:
 
 
 def _interleaved_docs(spark: SparkSession, sf: str) -> DataFrame:
-    from ecc_spark.fixtures import corpus_dataframes
-    from ecc_spark.ops.pipeline_ops import _n_docs
+    from ecc_spark.ops.pipeline_ops import _corpus
 
-    docs, _, _, _, _ = corpus_dataframes(
-        spark, n_docs=_n_docs(sf), n_seeds=20, seed=42
-    )
+    docs = _corpus(spark, sf)[0]  # the one canonical corpus derivation
     # null-doc_id rows (gen's OPS-7 fixtures) have no join identity;
     # both queries document them out up front
     return docs.filter(F.col("doc_id").isNotNull()).select("doc_id", "spans")

@@ -175,6 +175,10 @@ def test_span_diff_crafted(spark):
             ("gone", [("text", "z", "", 0)]),
             ("empty_vs_empty", []),
             ("empty_vs_some", []),
+            ("null_vs_null", None),
+            ("null_vs_empty", None),
+            ("null_vs_some", None),
+            ("null_field", [("text", None, "x", 0)]),
         ],
     )
     right = _mk_docs(
@@ -187,6 +191,10 @@ def test_span_diff_crafted(spark):
             ("new", [("text", "n", "", 0)]),
             ("empty_vs_empty", []),
             ("empty_vs_some", [("text", "x", "", 0)]),
+            ("null_vs_null", None),
+            ("null_vs_empty", []),
+            ("null_vs_some", [("text", "x", "", 0)]),
+            ("null_field", [("text", "", "x", 0)]),
         ],
     )
     got = {r["doc_id"]: r.asDict() for r in span_diff(left, right).collect()}
@@ -203,13 +211,21 @@ def test_span_diff_crafted(spark):
     assert got["empty_vs_empty"]["status"] == "match"
     assert got["empty_vs_some"]["status"] == "mismatch"
     assert got["empty_vs_some"]["first_diff_idx"] == 0
+    # a doc PRESENT with null spans is not "absent": it compares as empty
+    assert got["null_vs_null"]["status"] == "match"
+    assert got["null_vs_empty"]["status"] == "match"
+    assert got["null_vs_some"]["status"] == "mismatch"
+    assert got["null_vs_some"]["first_diff_idx"] == 0
+    # null-flag hashing keeps (null) and ('') distinct per field
+    assert got["null_field"]["status"] == "mismatch"
+    assert got["null_field"]["first_diff_idx"] == 0
     summary = {
         r["status"]: r["n_docs"]
         for r in span_diff_summary(span_diff(left, right)).collect()
     }
     assert summary == {
-        "match": 3,
-        "mismatch": 3,
+        "match": 5,
+        "mismatch": 5,
         "only_left": 1,
         "only_right": 1,
     }
