@@ -283,3 +283,25 @@ def test_plans_have_no_python_udf(spark):
     for q in (line_dedup_query, c4_clean_query):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, q.__name__
+
+
+def test_dedup_fuzz_seeded_corpora(spark):
+    """Seeded randomized corpora (heavy dup pool, empty docs, within-doc
+    repeats) vs the exact-string mirror, across keep modes and min_dup."""
+    import random
+
+    for seed in (101, 202):
+        rng = random.Random(seed)
+        pool = [f"line pool {i}" for i in range(12)]  # small pool -> dups
+        rows = []
+        for d in range(60):
+            n = rng.randrange(0, 9)
+            lines = [
+                rng.choice(pool) if rng.random() < 0.7 else f"uniq {d}-{i}"
+                for i in range(n)
+            ]
+            rows.append((f"doc{d:03d}", lines))
+        for keep, min_dup in (("first", 2), ("none", 2), ("first", 3)):
+            got = _spark_dedup(spark, rows, keep=keep, min_dup=min_dup)
+            want = _mirror_dedup(rows, keep=keep, min_dup=min_dup)
+            _assert_dedup_equal(got, want)

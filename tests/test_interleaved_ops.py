@@ -261,3 +261,80 @@ def test_plans_have_no_python_udf(spark):
     for q in (media_dedup_query, span_diff_query):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, q.__name__
+
+
+def test_span_diff_fuzz_seeded(spark):
+    """Seeded random corpora + random perturbations vs a pure-Python
+    mirror of the (kind, text, media_ref, order) invariant."""
+    import random
+
+    def mirror(lrows, rrows):
+        ld, rd = dict(lrows), dict(rrows)
+        out = {}
+        for doc_id in set(ld) | set(rd):
+            if doc_id not in ld:
+                out[doc_id] = ("only_right", None)
+                continue
+            if doc_id not in rd:
+                out[doc_id] = ("only_left", None)
+                continue
+            pl = [
+                (s[0], s[1], s[2]) for s in (ld[doc_id] or [])
+            ]
+            pr = [
+                (s[0], s[1], s[2]) for s in (rd[doc_id] or [])
+            ]
+            common = min(len(pl), len(pr))
+            idx = next(
+                (i for i in range(common) if pl[i] != pr[i]), None
+            )
+            if idx is None and len(pl) == len(pr):
+                out[doc_id] = ("match", None)
+            else:
+                out[doc_id] = ("mismatch", idx if idx is not None else common)
+        return out
+
+    kinds = ["text", "link", "media"]
+    for seed in (7, 77):
+        rng = random.Random(seed)
+
+        def span(d, i):
+            k = rng.choice(kinds)
+            return (
+                k,
+                None if rng.random() < 0.05 else f"t{d}-{i}",
+                "" if k == "text" else f"ref{rng.randrange(6)}",
+                rng.randrange(100),
+            )
+
+        lrows = []
+        for d in range(50):
+            n = rng.randrange(0, 6)
+            lrows.append(
+                (f"doc{d:03d}", None if n == 0 and rng.random() < 0.3
+                 else [span(d, i) for i in range(n)])
+            )
+        rrows = []
+        for doc_id, spans in lrows:
+            roll = rng.random()
+            if roll < 0.15:
+                continue  # only_left
+            if spans and roll < 0.35:  # mutate one span's text
+                i = rng.randrange(len(spans))
+                k, t, m, o = spans[i]
+                spans = list(spans)
+                spans[i] = (k, (t or "") + "!", m, o)
+            elif spans and roll < 0.45:  # truncate (strict prefix)
+                spans = spans[: rng.randrange(len(spans))]
+            elif spans and roll < 0.55:  # offset-only change (must match)
+                spans = [(k, t, m, o + 1) for k, t, m, o in spans]
+            rrows.append((doc_id, spans))
+        rrows.append(("extra_doc", [("text", "x", "", 0)]))
+
+        got = {
+            r["doc_id"]: (r["status"], r["first_diff_idx"])
+            for r in span_diff(
+                _mk_docs(spark, lrows), _mk_docs(spark, rrows)
+            ).collect()
+        }
+        assert got == mirror(lrows, rrows), f"seed {seed}"
