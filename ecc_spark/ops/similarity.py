@@ -135,23 +135,79 @@ WHERE {_DOT_SQL.replace('q.', 'a.').replace('c.', 'b.')}
 """
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_blocks: int = 1,
+    *,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cell cosine-≥-threshold pairs with HOT-CELL parallelism.
+
+    n_blocks=1 is the plain cell self-join: correct, but a cell with m
+    members generates its m² candidate pairs inside ONE join task (the
+    join key is the cell), so one viral near-dup cluster stalls its
+    task at 100 TB.  n_blocks=s splits every cell into s hash blocks
+    and joins on (cell, block_i, block_j) with the TRIANGULAR
+    replication scheme: a row in block x enters the left side under
+    keys (x, x..s-1) and the right side under keys (0..x, x), so every
+    unordered block pair — and therefore every vector pair — meets
+    exactly once, while per-task work drops to (m/s)² across s(s+1)/2
+    independently-scheduled keys.  Replication cost: each vector is
+    copied (s+1)/2 times on each side — the classic all-pairs
+    block-partition trade (and what AQE's mapper-range skew split
+    cannot do by itself when one KEY is hot on both sides).
+
+    Output (vec_a < vec_b, cosine rounded to 6 dp) is IDENTICAL for any
+    n_blocks — the contract query runs n_blocks=4 against the naive SQL
+    oracle to pin exactly that.
+    """
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("a_emb"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("b_emb"),
+    )
+    if n_blocks == 1:
+        j = a.join(b, ["cell"]).filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        s = n_blocks
+        blk_a = F.pmod(F.xxhash64("vec_a"), F.lit(s)).cast("int")
+        blk_b = F.pmod(F.xxhash64("vec_b"), F.lit(s)).cast("int")
+        left = a.withColumn("bi", blk_a).withColumn(
+            "bj", F.explode(F.sequence("bi", F.lit(s - 1)))
+        )
+        right = b.withColumn("bj", blk_b).withColumn(
+            "bi", F.explode(F.sequence(F.lit(0), "bj"))
+        )
+        j = left.join(right, ["cell", "bi", "bj"]).filter(
+            # same-block keys match both orderings (and self-pairs):
+            # canonicalize there; cross-block pairs meet exactly once
+            (F.col("bi") != F.col("bj")) | (F.col("vec_a") < F.col("vec_b"))
+        )
+    sims = j.select(
+        F.least("vec_a", "vec_b").alias("vec_a"),
+        F.greatest("vec_a", "vec_b").alias("vec_b"),
+        (_dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb"))).alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+    return sims.select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
+
+
 def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup: within-cell pairs with cosine ≥ 0.3 (p99 of the synthetic corpus; production corpora use ~0.95).
-    Cell bucketing bounds the pair count (the dedup analog of IVF)."""
+    Cell bucketing bounds the pair count (the dedup analog of IVF);
+    n_blocks=4 triangular blocking proves the hot-cell-parallel plan
+    returns exactly the naive oracle's pairs."""
     e = load(spark, sf, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"), F.col("embedding").alias("a_emb")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("cell"), F.col("embedding").alias("b_emb")
-    )
-    j = a.join(b, ["cell"]).filter(F.col("vec_a") < F.col("vec_b"))
-    sims = j.select(
-        "vec_a",
-        "vec_b",
-        (_dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb"))).alias("sim"),
-    ).filter(F.col("sim") >= 0.3)
-    return sims.select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
+    return near_dup_pairs(e, threshold=0.3, n_blocks=4)
 
 
 _NPROBE = 2

@@ -929,3 +929,67 @@ def test_semantic_dedup_matches_pure_python_mirror(spark, tmp_path):
     for cid in sizes:
         kept = [v for v, (_, c, kp) in got.items() if c == cid and kp]
         assert len(kept) == 1, (cid, kept)
+
+
+def test_near_dup_pairs_blocking_invariant(spark):
+    """Triangular block-salting (hot-cell parallelism) must return the
+    EXACT pair set of the naive cell self-join for any n_blocks —
+    including s > cell size and a deliberately skewed one-giant-cell
+    fixture — with a pure-Python cosine mirror as ground truth."""
+    import itertools
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from ecc_spark.ops.similarity import near_dup_pairs
+
+    rng = random.Random(99)
+    rows = []
+    # one giant hot cell (40 vectors) + two small cells + a singleton
+    for i in range(40):
+        rows.append((i, "hot", [rng.uniform(-1, 1) for _ in range(8)]))
+    for i in range(40, 46):
+        rows.append((i, "small_a", [rng.uniform(-1, 1) for _ in range(8)]))
+    for i in range(46, 49):
+        rows.append((i, "small_b", [rng.uniform(-1, 1) for _ in range(8)]))
+    rows.append((49, "lonely", [1.0] * 8))
+    emb = spark.createDataFrame(
+        rows, schema="vec_id long, label string, embedding array<float>"
+    )
+
+    # pure-Python ground truth (float32-cast like the engine)
+    import numpy as np
+
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, in
+            ((r[0], r[2]) for r in rows)}
+    cells: dict[str, list[int]] = {}
+    for i, c, _ in rows:
+        cells.setdefault(c, []).append(i)
+    want = set()
+    tau = 0.2
+    for members in cells.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            va, vb = vecs[a], vecs[b]
+            sim = float(va @ vb) / (
+                math.sqrt(float(va @ va)) * math.sqrt(float(vb @ vb))
+            )
+            if sim >= tau:
+                want.add((a, b, round(sim, 6)))
+
+    results = {}
+    for s in (1, 2, 4, 7, 64):  # 64 > every cell size
+        got = {
+            (r["vec_a"], r["vec_b"], r["cosine"])
+            for r in near_dup_pairs(emb, threshold=tau, n_blocks=s).collect()
+        }
+        results[s] = got
+        # rounding at the 6th dp can flip membership vs the mirror only
+        # for sims straddling tau; compare Spark-vs-Spark exactly and
+        # Spark-vs-mirror on the id pairs
+        assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}, s
+    assert results[1] == results[2] == results[4] == results[7] == results[64]
+    assert len(results[1]) > 50, "skewed fixture must be non-vacuous"
+
+    with _pytest.raises(ValueError, match="n_blocks"):
+        near_dup_pairs(emb, threshold=tau, n_blocks=0)
