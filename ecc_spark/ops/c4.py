@@ -301,3 +301,147 @@ def c4_clean_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES.update({"line_dedup": line_dedup_query, "c4_clean": c4_clean_query})
+
+
+# ------------------------------------------------------- Gopher rules
+
+_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al.,
+    arXiv:2112.11446 Table A1) over (doc_id, lines:array<string>) —
+    completing the rule-filter family next to the C4 set (c4_clean) and
+    the per-doc repetition signals (corpus_ops.repetition_quality):
+
+    word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'/'...' symbol-to-word
+    ratio <= max_symbol_ratio; lines starting with a bullet <=
+    max_bullet_frac; lines ending with an ellipsis <= max_ellipsis_frac;
+    words containing an alphabetic char >= min_alpha_word_frac;
+    >= min_stopword_hits distinct stopwords present.
+
+    100% row-local (split/filter/aggregate lambdas in whole-stage
+    codegen): zero shuffles, composes with any partitioning.  Returns
+    every doc with its signals + per-rule verdict AND overall ``keep``.
+    """
+    full = F.concat_ws("\n", "lines")
+    words = F.filter(F.split(full, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(full) - F.length(F.replace(full, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(full) - F.length(F.replace(full, F.lit("..."), F.lit("")))
+    ) / 3 + (
+        F.length(full) - F.length(F.replace(full, F.lit("…"), F.lit("")))
+    )
+    n_lines = F.size("lines")
+    n_bullet = F.size(
+        F.filter("lines", lambda ln: F.trim(ln).rlike(r"^[•\-\*‣▪]"))
+    )
+    n_ell_end = F.size(
+        F.filter("lines", lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+        )
+    )
+
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(n_words > 0, sum_len / n_words).otherwise(0.0).alias(
+            "mean_word_len"
+        ),
+        F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+        .otherwise(0.0)
+        .alias("symbol_ratio"),
+        F.when(n_lines > 0, n_bullet / n_lines).otherwise(0.0).alias(
+            "bullet_frac"
+        ),
+        F.when(n_lines > 0, n_ell_end / n_lines).otherwise(0.0).alias(
+            "ellipsis_frac"
+        ),
+        F.when(n_words > 0, n_alpha / n_words).otherwise(0.0).alias(
+            "alpha_word_frac"
+        ),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return sig.withColumn("keep", keep)
+
+
+def gopher_rules_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only ◦: the Gopher rule set over the derived 3-token lines,
+    crc32-dirtied so every rule fires somewhere (mirrored in tests):
+    '...' appended when crc32(line)%13==0, a '• bullet' line appended
+    when crc32(doc_id)%7==0, '###' when crc32(doc_id)%31==0, and a
+    stopword line when crc32(doc_id)%3!=0 (the synthetic vocabulary
+    carries only 'the', so the stopword rule needs seeding to show both
+    verdicts)."""
+    lines = _doc_lines(spark, sf)
+    crc = lambda c: F.crc32(F.encode(c, "utf-8"))  # noqa: E731
+    dirty = F.transform(
+        "lines",
+        lambda ln: F.concat(
+            ln,
+            F.when(crc(ln) % 13 == 0, F.lit("...")).otherwise(F.lit("")),
+        ),
+    )
+    dirtied = lines.select(
+        "doc_id",
+        F.concat(
+            dirty,
+            F.when(
+                crc(F.col("doc_id")) % 7 == 0,
+                F.array(F.lit("• bullet item")),
+            ).otherwise(F.array().cast("array<string>")),
+            F.when(
+                crc(F.col("doc_id")) % 31 == 0, F.array(F.lit("# # ###"))
+            ).otherwise(F.array().cast("array<string>")),
+            F.when(
+                crc(F.col("doc_id")) % 3 != 0,
+                F.array(F.lit("to be of and that")),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("lines"),
+    )
+    out = gopher_quality(dirtied, min_words=30)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("symbol_ratio", 4).alias("symbol_ratio"),
+        F.round("bullet_frac", 4).alias("bullet_frac"),
+        F.round("ellipsis_frac", 4).alias("ellipsis_frac"),
+        F.round("alpha_word_frac", 4).alias("alpha_word_frac"),
+        "stopword_hits",
+        "keep",
+    )
+
+
+QUERIES.update({"gopher_rules": gopher_rules_query})

@@ -278,9 +278,11 @@ def test_c4_real_corpus_mirror(spark):
 
 
 def test_plans_have_no_python_udf(spark):
-    """Both stages must stay JVM-side: no BatchEvalPython/ArrowEvalPython
+    """Every stage must stay JVM-side: no BatchEvalPython/ArrowEvalPython
     anywhere in the executed plan."""
-    for q in (line_dedup_query, c4_clean_query):
+    from ecc_spark.ops.c4 import gopher_rules_query
+
+    for q in (line_dedup_query, c4_clean_query, gopher_rules_query):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, q.__name__
 
@@ -305,3 +307,114 @@ def test_dedup_fuzz_seeded_corpora(spark):
             got = _spark_dedup(spark, rows, keep=keep, min_dup=min_dup)
             want = _mirror_dedup(rows, keep=keep, min_dup=min_dup)
             _assert_dedup_equal(got, want)
+
+
+# --------------------------------------------------------------- Gopher
+
+
+def _mirror_gopher(rows, min_words=50, max_words=100_000,
+                   min_mwl=3.0, max_mwl=10.0, max_sym=0.1,
+                   max_bullet=0.9, max_ell=0.3, min_alpha=0.8,
+                   min_stop=2):
+    import re
+
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    out = {}
+    for doc_id, lines in rows:
+        full = "\n".join(lines)
+        words = [w for w in re.split(r"\s+", full) if w != ""]
+        n = len(words)
+        mwl = sum(len(w) for w in words) / n if n else 0.0
+        n_sym = full.count("#") + full.count("...") + full.count("…")
+        sym = n_sym / n if n else 0.0
+        nl = len(lines)
+        bullet = (
+            sum(1 for ln in lines if re.match(r"^[•\-\*‣▪]", ln.strip())) / nl
+            if nl else 0.0
+        )
+        ell = (
+            sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln.rstrip())) / nl
+            if nl else 0.0
+        )
+        alpha = (
+            sum(1 for w in words if re.search("[a-zA-Z]", w)) / n if n else 0.0
+        )
+        hits = len({w.lower() for w in words} & stop)
+        out[doc_id] = {
+            "n_words": n, "mean_word_len": mwl, "symbol_ratio": sym,
+            "bullet_frac": bullet, "ellipsis_frac": ell,
+            "alpha_word_frac": alpha, "stopword_hits": hits,
+            "keep": (min_words <= n <= max_words and min_mwl <= mwl <= max_mwl
+                     and sym <= max_sym and bullet <= max_bullet
+                     and ell <= max_ell and alpha >= min_alpha
+                     and hits >= min_stop),
+        }
+    return out
+
+
+GOPHER_CRAFTED = [
+    ("ok", ["the quick brown fox jumps over and over to be sure of it " * 5]),
+    ("short", ["the cat sat"]),  # < 50 words
+    ("symbols", ["# " * 30 + "the be to of and that have with " * 4]),
+    ("bullets", ["• item one of the list"] * 9 + ["the be to of plain text line here with that have " * 6]),
+    ("ellipses", ["trailing thought..."] * 2 + ["the be to of and plain " * 10]),
+    ("nostop", ["zzz qqq www " * 20]),
+    ("numeric", ["12345 67890 " * 30 + "the be of and " * 3]),  # low alpha
+    ("empty", []),
+]
+
+
+def test_gopher_crafted(spark):
+    from ecc_spark.ops.c4 import gopher_quality
+
+    df = spark.createDataFrame(
+        GOPHER_CRAFTED, schema="doc_id string, lines array<string>"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    want = _mirror_gopher(GOPHER_CRAFTED)
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert g["n_words"] == w["n_words"], doc_id
+        assert g["stopword_hits"] == w["stopword_hits"], doc_id
+        for k in ("mean_word_len", "symbol_ratio", "bullet_frac",
+                  "ellipsis_frac", "alpha_word_frac"):
+            assert g[k] == pytest.approx(w[k]), (doc_id, k)
+        assert g["keep"] == w["keep"], doc_id
+    assert got["ok"]["keep"]
+    assert not got["short"]["keep"]
+    assert not got["symbols"]["keep"]
+    assert not got["nostop"]["keep"]
+    assert not got["numeric"]["keep"]
+    assert not got["empty"]["keep"]
+
+
+def test_gopher_real_corpus_mirror(spark):
+    """The contract query's crc32-dirtied derivation, mirrored exactly."""
+    from ecc_spark.ops.c4 import gopher_rules_query
+
+    rows = []
+    for doc_id, lines in _derive_lines(SF):
+        dl = [ln + ("..." if _crc(ln) % 13 == 0 else "") for ln in lines]
+        if _crc(doc_id) % 7 == 0:
+            dl.append("• bullet item")
+        if _crc(doc_id) % 31 == 0:
+            dl.append("# # ###")
+        if _crc(doc_id) % 3 != 0:
+            dl.append("to be of and that")
+        rows.append((doc_id, dl))
+    want = _mirror_gopher(rows, min_words=30)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules_query(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    kept = sum(1 for w in want.values() if w["keep"])
+    assert 0 < kept < len(want), "both verdicts must occur"
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert g["n_words"] == w["n_words"], doc_id
+        assert g["stopword_hits"] == w["stopword_hits"], doc_id
+        assert g["keep"] == w["keep"], doc_id
+        for k in ("mean_word_len", "symbol_ratio", "bullet_frac",
+                  "ellipsis_frac", "alpha_word_frac"):
+            assert g[k] == pytest.approx(w[k], abs=5.1e-5), (doc_id, k)
