@@ -196,7 +196,13 @@ def near_dup_pairs(
     sims = j.select(
         F.least("vec_a", "vec_b").alias("vec_a"),
         F.greatest("vec_a", "vec_b").alias("vec_b"),
-        (_dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb"))).alias("sim"),
+        # try_divide: a zero-norm vector (e.g. a zero-token doc out of
+        # tfidf_vectors) has undefined cosine — NULL, filtered by the
+        # threshold — instead of an ANSI DIVIDE_BY_ZERO abort; values
+        # for non-zero vectors are bit-identical to plain division
+        F.try_divide(
+            _dot("a_emb", "b_emb"), _norm("a_emb") * _norm("b_emb")
+        ).alias("sim"),
     ).filter(F.col("sim") >= threshold)
     return sims.select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
 

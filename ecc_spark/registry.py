@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 _OP_MODULES = (
     "relational", "analytics", "textops", "dedup", "similarity", "multimodal",
     "pipeline_ops", "crawl_ops", "advanced", "bucketing", "corpus_ops",
-    "quality", "bpe", "dsir", "c4", "interleaved",
+    "quality", "bpe", "dsir", "c4", "interleaved", "tfidf",
 )
 
 
