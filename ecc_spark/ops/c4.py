@@ -327,8 +327,9 @@ def gopher_quality(
     the per-doc repetition signals (corpus_ops.repetition_quality):
 
     word count in [min_words, max_words]; mean word length in
-    [min_mean_word_len, max_mean_word_len]; '#'/'...' symbol-to-word
-    ratio <= max_symbol_ratio; lines starting with a bullet <=
+    [min_mean_word_len, max_mean_word_len]; '#' AND '...' symbol-to-word
+    ratios EACH <= max_symbol_ratio (the paper applies the threshold per
+    symbol, not to their sum); lines starting with a bullet <=
     max_bullet_frac; lines ending with an ellipsis <= max_ellipsis_frac;
     words containing an alphabetic char >= min_alpha_word_frac;
     >= min_stopword_hits distinct stopwords present.
@@ -350,11 +351,19 @@ def gopher_quality(
         F.length(full) - F.length(F.replace(full, F.lit("…"), F.lit("")))
     )
     n_lines = F.size("lines")
+    # explicit whitespace class [ \t\r\n\f\x0B] in the regex itself:
+    # F.trim strips only ASCII spaces (a tab-indented bullet would slip
+    # through), and Java's \s and Python's \s disagree on NBSP — the
+    # literal class keeps engine and test mirror byte-aligned
     n_bullet = F.size(
-        F.filter("lines", lambda ln: F.trim(ln).rlike(r"^[•\-\*‣▪]"))
+        F.filter(
+            "lines", lambda ln: ln.rlike(r"^[ \t\r\n\f\x0B]*[•\-\*‣▪]")
+        )
     )
     n_ell_end = F.size(
-        F.filter("lines", lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+        F.filter(
+            "lines", lambda ln: ln.rlike(r"(\.\.\.|…)[ \t\r\n\f\x0B]*$")
+        )
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     stop_hits = F.size(
@@ -370,9 +379,12 @@ def gopher_quality(
         F.when(n_words > 0, sum_len / n_words).otherwise(0.0).alias(
             "mean_word_len"
         ),
-        F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
-        .otherwise(0.0)
-        .alias("symbol_ratio"),
+        F.when(n_words > 0, n_hash / n_words).otherwise(0.0).alias(
+            "hash_ratio"
+        ),
+        F.when(n_words > 0, n_ellipsis / n_words).otherwise(0.0).alias(
+            "ellipsis_ratio"
+        ),
         F.when(n_lines > 0, n_bullet / n_lines).otherwise(0.0).alias(
             "bullet_frac"
         ),
@@ -387,7 +399,8 @@ def gopher_quality(
     keep = (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("hash_ratio") <= max_symbol_ratio)
+        & (F.col("ellipsis_ratio") <= max_symbol_ratio)
         & (F.col("bullet_frac") <= max_bullet_frac)
         & (F.col("ellipsis_frac") <= max_ellipsis_frac)
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
@@ -435,7 +448,8 @@ def gopher_rules_query(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "n_words",
         F.round("mean_word_len", 4).alias("mean_word_len"),
-        F.round("symbol_ratio", 4).alias("symbol_ratio"),
+        F.round("hash_ratio", 4).alias("hash_ratio"),
+        F.round("ellipsis_ratio", 4).alias("ellipsis_ratio"),
         F.round("bullet_frac", 4).alias("bullet_frac"),
         F.round("ellipsis_frac", 4).alias("ellipsis_frac"),
         F.round("alpha_word_frac", 4).alias("alpha_word_frac"),

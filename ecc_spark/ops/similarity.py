@@ -644,14 +644,21 @@ def semantic_dedup(
     e = load(spark, sf, "embeddings")
     cent, assigned = kmeans_lloyd(e, k=k, n_iter=n_iter)
     ec = e.select("vec_id", "embedding").join(assigned.select("vec_id", "cell"), "vec_id")
-    a = ec.select(F.col("vec_id").alias("a"), "cell", F.col("embedding").alias("ea"))
-    b = ec.select(F.col("vec_id").alias("b"), "cell", F.col("embedding").alias("eb"))
-    sim = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    # pair generation through near_dup_pairs with triangular block-salting:
+    # a viral duplicate cluster concentrated in ONE k-means cell — exactly
+    # the SemDeDup scenario — no longer generates its m² candidates inside
+    # a single join task.  Threshold algebra: the paper rule here is
+    # round(sim,6) >= tau; near_dup_pairs filters UNROUNDED sim >= its
+    # threshold and emits round(sim,6), so pre-filtering at tau-1e-6
+    # (strictly below round-up distance 5e-7) then post-filtering the
+    # rounded cosine at tau reproduces the original edge set exactly.
     edges = (
-        a.join(b, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.round(sim, 6) >= tau)
-        .select("a", "b")
+        near_dup_pairs(
+            ec, threshold=tau - 1e-6, n_blocks=4,
+            id_col="vec_id", cell_col="cell",
+        )
+        .filter(F.col("cosine") >= tau)
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     )
     comp = connected_components(ec.select(F.col("vec_id").alias("id")), edges)
     csim = _dot("embedding", "centroid") / (_norm("embedding") * _norm("centroid"))

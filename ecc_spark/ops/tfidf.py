@@ -76,12 +76,21 @@ def tfidf_vectors(
     tf = buckets.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    n_docs = docs.count()
-    idf = tf.groupBy("bucket").agg(
-        (
-            F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.count(F.lit(1))))
-            + 1.0
-        ).alias("idf")
+    # n_docs as a LAZY 1-row agg broadcast-cross-joined into the idf
+    # table (the bm25 1-row-stats discipline) — an eager docs.count()
+    # here would scan the 100-TB input a second time, as a side effect
+    # of merely BUILDING the plan
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (
+        tf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0).alias(
+                "idf"
+            ),
+        )
     )
     weighted = tf.join(F.broadcast(idf), "bucket").select(
         "doc_id", "bucket", (F.col("tf") * F.col("idf")).alias("w")
@@ -91,22 +100,36 @@ def tfidf_vectors(
             "wmap"
         )
     )
+    if normalize:
+        # hoisted to a plain column: an aggregate inside the per-element
+        # transform lambda would re-evaluate the O(dim) norm for every
+        # element (O(dim^2)/row); map_values makes it O(nnz)/row
+        assembled = assembled.withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.map_values("wmap"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+        )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.try_element_at("wmap", i), F.lit(0.0)),
     )
     if normalize:
-        norm = F.sqrt(
-            F.aggregate(dense, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
         dense = F.transform(
-            dense, lambda x: F.when(norm > 0, x / norm).otherwise(0.0)
+            dense,
+            lambda x: F.when(F.col("nrm") > 0, x / F.col("nrm")).otherwise(
+                0.0
+            ),
         )
     # docs with zero tokens have no weighted rows: left join + zero-fill
     return docs.select(F.col(id_col).alias("doc_id")).join(
         assembled, "doc_id", "left"
     ).select(
-        "doc_id",
+        F.col("doc_id").alias(id_col),
         F.when(F.col("wmap").isNotNull(), dense)
         .otherwise(F.array_repeat(F.lit(0.0), dim))
         .cast("array<float>")

@@ -325,15 +325,16 @@ def _mirror_gopher(rows, min_words=50, max_words=100_000,
         words = [w for w in re.split(r"\s+", full) if w != ""]
         n = len(words)
         mwl = sum(len(w) for w in words) / n if n else 0.0
-        n_sym = full.count("#") + full.count("...") + full.count("…")
-        sym = n_sym / n if n else 0.0
+        hash_r = full.count("#") / n if n else 0.0
+        ell_r = (full.count("...") + full.count("…")) / n if n else 0.0
         nl = len(lines)
+        ws = r"[ \t\r\n\f\x0B]*"
         bullet = (
-            sum(1 for ln in lines if re.match(r"^[•\-\*‣▪]", ln.strip())) / nl
+            sum(1 for ln in lines if re.match("^" + ws + r"[•\-\*‣▪]", ln)) / nl
             if nl else 0.0
         )
         ell = (
-            sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln.rstrip())) / nl
+            sum(1 for ln in lines if re.search(r"(\.\.\.|…)" + ws + "$", ln)) / nl
             if nl else 0.0
         )
         alpha = (
@@ -341,11 +342,13 @@ def _mirror_gopher(rows, min_words=50, max_words=100_000,
         )
         hits = len({w.lower() for w in words} & stop)
         out[doc_id] = {
-            "n_words": n, "mean_word_len": mwl, "symbol_ratio": sym,
+            "n_words": n, "mean_word_len": mwl,
+            "hash_ratio": hash_r, "ellipsis_ratio": ell_r,
             "bullet_frac": bullet, "ellipsis_frac": ell,
             "alpha_word_frac": alpha, "stopword_hits": hits,
             "keep": (min_words <= n <= max_words and min_mwl <= mwl <= max_mwl
-                     and sym <= max_sym and bullet <= max_bullet
+                     and hash_r <= max_sym and ell_r <= max_sym
+                     and bullet <= max_bullet
                      and ell <= max_ell and alpha >= min_alpha
                      and hits >= min_stop),
         }
@@ -361,6 +364,12 @@ GOPHER_CRAFTED = [
     ("nostop", ["zzz qqq www " * 20]),
     ("numeric", ["12345 67890 " * 30 + "the be of and " * 3]),  # low alpha
     ("empty", []),
+    # 4 '#' + 4 '...' over 60+ words: per-symbol ratios both <= 0.1 ->
+    # kept under the paper's rule (a summed ratio would wrongly kill it)
+    ("per_symbol", ["# # # # more... dots... over... here... "
+                    + "the be to of and that have with " * 8]),
+    ("tab_bullet", ["\t• tab indented bullet"] * 9
+                   + ["the be to of and plain text " * 10]),
 ]
 
 
@@ -376,8 +385,8 @@ def test_gopher_crafted(spark):
         g = got[doc_id]
         assert g["n_words"] == w["n_words"], doc_id
         assert g["stopword_hits"] == w["stopword_hits"], doc_id
-        for k in ("mean_word_len", "symbol_ratio", "bullet_frac",
-                  "ellipsis_frac", "alpha_word_frac"):
+        for k in ("mean_word_len", "hash_ratio", "ellipsis_ratio",
+                  "bullet_frac", "ellipsis_frac", "alpha_word_frac"):
             assert g[k] == pytest.approx(w[k]), (doc_id, k)
         assert g["keep"] == w["keep"], doc_id
     assert got["ok"]["keep"]
@@ -386,6 +395,12 @@ def test_gopher_crafted(spark):
     assert not got["nostop"]["keep"]
     assert not got["numeric"]["keep"]
     assert not got["empty"]["keep"]
+    assert got["per_symbol"]["keep"]  # per-symbol thresholds, not summed
+    assert got["per_symbol"]["hash_ratio"] <= 0.1
+    assert got["per_symbol"]["ellipsis_ratio"] <= 0.1
+    assert got["per_symbol"]["hash_ratio"] + got["per_symbol"]["ellipsis_ratio"] > 0.1
+    # tab-indented bullets count: 9/10 bullet lines > 0.9 kills the doc
+    assert got["tab_bullet"]["bullet_frac"] == pytest.approx(0.9)
 
 
 def test_gopher_real_corpus_mirror(spark):
@@ -415,6 +430,6 @@ def test_gopher_real_corpus_mirror(spark):
         assert g["n_words"] == w["n_words"], doc_id
         assert g["stopword_hits"] == w["stopword_hits"], doc_id
         assert g["keep"] == w["keep"], doc_id
-        for k in ("mean_word_len", "symbol_ratio", "bullet_frac",
-                  "ellipsis_frac", "alpha_word_frac"):
+        for k in ("mean_word_len", "hash_ratio", "ellipsis_ratio",
+                  "bullet_frac", "ellipsis_frac", "alpha_word_frac"):
             assert g[k] == pytest.approx(w[k], abs=5.1e-5), (doc_id, k)

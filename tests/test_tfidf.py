@@ -125,3 +125,17 @@ def test_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_custom_id_col_passthrough(spark):
+    """The output id column keeps the caller's name — piping
+    tfidf_vectors(id_col='vec_id') into near_dup_pairs must resolve."""
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in DOCS], schema="vec_id string, text string"
+    )
+    out = tfidf_vectors(df, dim=16, id_col="vec_id")
+    assert out.columns == ["vec_id", "embedding"]
+    want = _mirror(DOCS, 16)
+    got = {r["vec_id"]: r["embedding"] for r in out.collect()}
+    for doc_id, w in want.items():
+        assert got[doc_id] == pytest.approx(w, abs=1e-6), doc_id
