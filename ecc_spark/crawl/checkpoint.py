@@ -304,6 +304,67 @@ class SnapshotTable:
         self._publish(self._seal(snap_id, wave, len(rows)))
         return snap_id
 
+    def replace(self, df: DataFrame, wave: int, rows: int | None = None) -> int:
+        """Copy-on-write table replacement (Iceberg CoW delete): write df
+        as a new snapshot with commit's exact write path, then ONE atomic
+        manifest publish that both drops every prior snapshot and seals
+        the new one.  Readers see either the old table or the new one —
+        never a half-replaced state, and (unlike trim-then-commit) no
+        crash window in which the table is empty.  A crash before the
+        seal leaves only an orphan under a burned id, same as commit.
+        For append tables the result is a one-delta table whose read
+        covers exactly df; data files of dropped snapshots stay on disk,
+        unreachable (ids never reused, bucketed reads prune by live id)."""
+        man0 = self._manifest()
+        obs = None
+        if rows is None:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        if self.bucket_by:
+            claimed: dict = {}
+
+            def claim(m: dict) -> dict:
+                sid = m.get("next_id") or ((m["latest"] or 0) + 1)
+                claimed["sid"] = sid
+                out = dict(m)
+                out["next_id"] = sid + 1
+                if out["schema"] is None:
+                    out["schema"] = schema
+                return out
+
+            man = self._publish(claim)
+            snap_id = claimed["sid"]
+            self._ensure_registered(man)
+            (
+                df.withColumn("snap_id", F.lit(snap_id))
+                .repartition(self.n_buckets, self.bucket_by)
+                .write.partitionBy("snap_id")
+                .bucketBy(self.n_buckets, self.bucket_by)
+                .sortBy(self.bucket_by)
+                .option("path", self.data_dir)
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(self.table_name)
+            )
+        else:
+            snap_id = man0.get("next_id") or ((man0["latest"] or 0) + 1)
+            path = os.path.join(self.dir, f"snap={snap_id}")
+            df.write.mode("overwrite").parquet(path)
+        if rows is None:
+            rows = int(obs.get["rows"])
+
+        def swap(m: dict) -> dict:
+            out = dict(m)
+            out["snapshots"] = [{"id": snap_id, "wave": wave, "rows": rows}]
+            out["latest"] = snap_id
+            out["next_id"] = max(m.get("next_id") or 0, snap_id + 1)
+            out["append"] = self.append
+            return out
+
+        self._publish(swap)
+        return snap_id
+
     def read(self, snapshot_id: int | None = None) -> DataFrame | None:
         man = self._manifest()
         sid = snapshot_id if snapshot_id is not None else man["latest"]

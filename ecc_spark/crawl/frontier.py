@@ -410,6 +410,92 @@ class CrawlEngine:
         # REPARTITION_BY_NUM on a different, uniform key survives both.
         return ordered.repartition(npart, "url_hash").mapInPandas(fused, schema=out_schema)
 
+    def expire(self, up_to_wave: int, cuckoo_delete_cap: int = 5_000_000) -> dict:
+        """Recrawl-by-TTL (Cho & Garcia-Molina revisit scheduling reduced
+        to seen-set maintenance): un-see every URL fetched in waves
+        <= up_to_wave.  The live queue is (frontier-ever ⟍ seen), so the
+        expired URLs re-enter it IMMEDIATELY — original priority, host,
+        and depth, no frontier write at all — and the next run_wave
+        re-fetches them under the normal politeness budgets.
+
+        Seen-table semantics: copy-on-write, like an Iceberg CoW delete —
+        the kept rows are rewritten as ONE new snapshot and the manifest
+        swap is a single atomic publish (SnapshotTable.replace), so a
+        reader/resume sees the old seen set or the new one, never an
+        empty window.  The bucketed url_hash layout is preserved, so the
+        wave loop's exchange-free anti-join plans are unchanged.
+
+        Prefilter sync: the approximate filter still contains the expired
+        keys, which is CORRECT but wasteful (they route to the exact join
+        and settle as unseen).  A broadcast-resident cuckoo filter
+        deletes the expired fingerprints in place — the deletability the
+        bloom lacks, bounded by cuckoo_delete_cap collected hashes;
+        beyond the cap (or with a bloom / table-transport filter) the
+        prefilter resets and the next wave's backfill path rebuilds it
+        from the kept seen set.  Correctness never depends on the filter:
+        it only routes candidates to the exact join, never drops them.
+
+        Returns {"expired": n, "kept": n, "filter": "deleted"|"reset"|
+        "none"}.  O(seen) rewrite — a maintenance operation between
+        waves, not a per-wave cost.
+        """
+        seen = self.seen()
+        if seen is None:
+            return {"expired": 0, "kept": 0, "filter": "none"}
+        expired = seen.filter(F.col("wave") <= up_to_wave)
+        kept = seen.filter(F.col("wave") > up_to_wave)
+        n_expired = expired.count()
+        if n_expired == 0:
+            return {"expired": 0, "kept": self._seen_count, "filter": "none"}
+
+        filter_action = "none"
+        if self._bloom is not None or self.t_bloom.latest_id() is not None:
+            in_place = (
+                self.seen_filter == "cuckoo"
+                and self._bloom is not None
+                and n_expired <= cuckoo_delete_cap
+            )
+            if in_place:
+                from ecc_spark.crawl.cuckoo import delete_hashes
+
+                hashes = np.array(
+                    [r[0] for r in expired.select("url_hash").collect()],
+                    dtype=np.int64,
+                )
+                delete_hashes(self._bloom, hashes, self.bloom_buckets)
+                # mutated driver-side tables: re-broadcast for executors
+                if self._bloom_bc is not None:
+                    self._bloom_bc.unpersist()
+                self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
+                filter_action = "deleted"
+            else:
+                # bloom (no deletion) or table-transport/oversized cuckoo:
+                # reset; run_wave's first-engagement backfill rebuilds the
+                # filter from the FULL kept seen set next wave
+                self._bloom = None
+                if self._bloom_bc is not None:
+                    self._bloom_bc.unpersist()
+                    self._bloom_bc = None
+                self.t_bloom.trim_to_wave(None)
+                filter_action = "reset"
+
+        # materialize kept OFF the live table before the swap: replace()
+        # appends into the same catalog table it would otherwise be
+        # reading from mid-write
+        kpath = os.path.join(self.workdir, "expire_kept")
+        kept.write.mode("overwrite").parquet(kpath)
+        kept_rows = self.spark.read.parquet(kpath)
+        n_kept = kept_rows.count()
+        # stamp with the frontier's last committed wave so a resume's
+        # trim-to-frontier-wave reconciliation keeps this snapshot
+        stamp = self.t_frontier.latest_wave()
+        self.t_seen.replace(
+            kept_rows, wave=stamp if stamp is not None else -1, rows=n_kept
+        )
+        self._seen_count = n_kept
+        shutil.rmtree(kpath, ignore_errors=True)
+        return {"expired": n_expired, "kept": n_kept, "filter": filter_action}
+
     def run_wave(self) -> WaveMetrics:
         wave = self.next_wave
         t0 = time.time()
