@@ -180,33 +180,28 @@ class SnapshotTable:
         self.spark.sql(f"MSCK REPAIR TABLE {self.table_name}")
 
     # -- commit / read ---------------------------------------------------
-    def commit(self, df: DataFrame, wave: int, rows: int | None = None) -> int:
-        """Write df as a new snapshot (full table, or the delta in append
-        mode); the manifest file IS the commit — readers never see a
-        half-written snapshot. Pass ``rows`` (of THIS df) when known to
-        skip the metadata read-back. Snapshot ids are monotone and never
-        reused (trim cannot resurrect an orphan under a recycled id)."""
-        # resolve table MODE from the manifest before branching — a fresh
-        # handle opened without bucket_by must still take the bucketed
-        # path of an existing bucketed table (mode is table metadata)
+    def _write_snapshot(self, df: DataFrame, rows: int | None) -> tuple[int, int]:
+        """Shared write protocol of commit() and replace(): returns
+        (snap_id, rows) with the data durably written but NOT yet sealed
+        — the caller's single manifest publish decides whether the new
+        snapshot appends (seal) or supersedes everything (swap).
+
+        Invariants live here exactly once: the row count folds into the
+        write job via Observation (a read-back count would be a second
+        job over data we just wrote, every commit, forever); the bucketed
+        path CLAIMS the id before writing so a crash between the append
+        and the sealing manifest leaves orphan rows under a burned id no
+        manifest will ever list; the pre-write repartition gives each
+        task one bucket (N files per snapshot, not N × input partitions);
+        the plain path needs no claim because overwriting snap=<id>
+        replaces any orphan wholesale."""
         man0 = self._manifest()
         obs = None
         if rows is None:
-            # fold the row count into the write job itself (Observation
-            # rides the existing action) — a read-back count would be a
-            # second job over data we just wrote, every commit, forever
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
         if self.bucket_by:
-            # CLAIM the id before writing data: a crash between the
-            # bucketed append and the sealing manifest leaves orphan rows
-            # under an id no manifest will ever list (burned, pruned by
-            # every read) — the replayed wave then writes under a FRESH
-            # id instead of appending a second copy into the same
-            # snap_id partition. Bucketed append cannot overwrite; the
-            # plain path needs no claim because overwriting snap=<id>
-            # replaces the orphan wholesale.
             claimed: dict = {}
 
             def claim(m: dict) -> dict:
@@ -223,8 +218,6 @@ class SnapshotTable:
             self._ensure_registered(man)
             (
                 df.withColumn("snap_id", F.lit(snap_id))
-                # pre-shuffle into the bucket layout so each task owns one
-                # bucket → N files per snapshot, not N × input-partitions
                 .repartition(self.n_buckets, self.bucket_by)
                 .write.partitionBy("snap_id")
                 .bucketBy(self.n_buckets, self.bucket_by)
@@ -240,6 +233,15 @@ class SnapshotTable:
             df.write.mode("overwrite").parquet(path)
         if rows is None:
             rows = int(obs.get["rows"])
+        return snap_id, rows
+
+    def commit(self, df: DataFrame, wave: int, rows: int | None = None) -> int:
+        """Write df as a new snapshot (full table, or the delta in append
+        mode); the manifest file IS the commit — readers never see a
+        half-written snapshot. Pass ``rows`` (of THIS df) when known to
+        skip the metadata read-back. Snapshot ids are monotone and never
+        reused (trim cannot resurrect an orphan under a recycled id)."""
+        snap_id, rows = self._write_snapshot(df, rows)
         self._publish(self._seal(snap_id, wave, rows))
         return snap_id
 
@@ -304,55 +306,33 @@ class SnapshotTable:
         self._publish(self._seal(snap_id, wave, len(rows)))
         return snap_id
 
-    def replace(self, df: DataFrame, wave: int, rows: int | None = None) -> int:
+    def replace(
+        self,
+        df: DataFrame,
+        wave: int,
+        rows: int | None = None,
+        vacuum: bool = True,
+    ) -> int:
         """Copy-on-write table replacement (Iceberg CoW delete): write df
-        as a new snapshot with commit's exact write path, then ONE atomic
-        manifest publish that both drops every prior snapshot and seals
-        the new one.  Readers see either the old table or the new one —
-        never a half-replaced state, and (unlike trim-then-commit) no
-        crash window in which the table is empty.  A crash before the
-        seal leaves only an orphan under a burned id, same as commit.
-        For append tables the result is a one-delta table whose read
-        covers exactly df; data files of dropped snapshots stay on disk,
-        unreachable (ids never reused, bucketed reads prune by live id)."""
-        man0 = self._manifest()
-        obs = None
-        if rows is None:
-            obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
-        if self.bucket_by:
-            claimed: dict = {}
+        as a new snapshot with commit's exact write protocol
+        (_write_snapshot), then ONE atomic manifest publish that both
+        drops every prior snapshot and seals the new one.  Readers see
+        either the old table or the new one — never a half-replaced
+        state, and (unlike trim-then-commit) no crash window in which the
+        table is empty.  A crash before the swap leaves only an orphan
+        under a burned id, same as commit.
 
-            def claim(m: dict) -> dict:
-                sid = m.get("next_id") or ((m["latest"] or 0) + 1)
-                claimed["sid"] = sid
-                out = dict(m)
-                out["next_id"] = sid + 1
-                if out["schema"] is None:
-                    out["schema"] = schema
-                return out
-
-            man = self._publish(claim)
-            snap_id = claimed["sid"]
-            self._ensure_registered(man)
-            (
-                df.withColumn("snap_id", F.lit(snap_id))
-                .repartition(self.n_buckets, self.bucket_by)
-                .write.partitionBy("snap_id")
-                .bucketBy(self.n_buckets, self.bucket_by)
-                .sortBy(self.bucket_by)
-                .option("path", self.data_dir)
-                .mode("append")
-                .format("parquet")
-                .saveAsTable(self.table_name)
-            )
-        else:
-            snap_id = man0.get("next_id") or ((man0["latest"] or 0) + 1)
-            path = os.path.join(self.dir, f"snap={snap_id}")
-            df.write.mode("overwrite").parquet(path)
-        if rows is None:
-            rows = int(obs.get["rows"])
+        ``vacuum=True`` physically deletes the dropped snapshots' data
+        AFTER the swap publishes (Iceberg's expire-snapshots step): a
+        recurring replace (the recrawl expire path) would otherwise leak
+        a full dead copy of the table per call.  Only safe when no
+        concurrent reader holds a pre-swap plan AND df does not itself
+        read from this table's live snapshots (stage it first, as
+        CrawlEngine.expire does) — both true for the engine, whose
+        maintenance ops run between waves; pass vacuum=False to keep
+        time-travel to the old files."""
+        dropped = [s["id"] for s in self._manifest()["snapshots"]]
+        snap_id, rows = self._write_snapshot(df, rows)
 
         def swap(m: dict) -> dict:
             out = dict(m)
@@ -363,6 +343,18 @@ class SnapshotTable:
             return out
 
         self._publish(swap)
+        if vacuum:
+            import shutil
+
+            for sid in dropped:
+                if sid == snap_id:
+                    continue
+                path = (
+                    os.path.join(self.data_dir, f"snap_id={sid}")
+                    if self.bucket_by
+                    else os.path.join(self.dir, f"snap={sid}")
+                )
+                shutil.rmtree(path, ignore_errors=True)
         return snap_id
 
     def read(self, snapshot_id: int | None = None) -> DataFrame | None:

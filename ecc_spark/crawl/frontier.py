@@ -458,9 +458,13 @@ class CrawlEngine:
             if in_place:
                 from ecc_spark.crawl.cuckoo import delete_hashes
 
-                hashes = np.array(
-                    [r[0] for r in expired.select("url_hash").collect()],
-                    dtype=np.int64,
+                # Arrow transfer, not Row collect: at the 5M cap a list of
+                # Row objects costs ~10x the memory/time of a numpy column
+                hashes = (
+                    expired.select("url_hash")
+                    .toPandas()["url_hash"]
+                    .to_numpy()
+                    .astype(np.int64)
                 )
                 delete_hashes(self._bloom, hashes, self.bloom_buckets)
                 # mutated driver-side tables: re-broadcast for executors
@@ -480,20 +484,27 @@ class CrawlEngine:
                 filter_action = "reset"
 
         # materialize kept OFF the live table before the swap: replace()
-        # appends into the same catalog table it would otherwise be
-        # reading from mid-write
+        # appends into (and vacuums) the same catalog table it would
+        # otherwise be reading from mid-write
         kpath = os.path.join(self.workdir, "expire_kept")
-        kept.write.mode("overwrite").parquet(kpath)
-        kept_rows = self.spark.read.parquet(kpath)
-        n_kept = kept_rows.count()
-        # stamp with the frontier's last committed wave so a resume's
-        # trim-to-frontier-wave reconciliation keeps this snapshot
-        stamp = self.t_frontier.latest_wave()
-        self.t_seen.replace(
-            kept_rows, wave=stamp if stamp is not None else -1, rows=n_kept
-        )
-        self._seen_count = n_kept
-        shutil.rmtree(kpath, ignore_errors=True)
+        try:
+            kept.write.mode("overwrite").parquet(kpath)
+            # manifest arithmetic, not a read-back count job over data we
+            # just wrote (the same trust queued_rows() places in it)
+            n_kept = self._seen_count - n_expired
+            # stamp with the frontier's last committed wave so a resume's
+            # trim-to-frontier-wave reconciliation keeps this snapshot
+            stamp = self.t_frontier.latest_wave()
+            self.t_seen.replace(
+                self.spark.read.parquet(kpath),
+                wave=stamp if stamp is not None else -1,
+                rows=n_kept,
+            )
+            self._seen_count = n_kept
+        finally:
+            # success or not, the staging copy is O(seen) bytes — never
+            # leave it behind (run_wave's staged-fetch GC discipline)
+            shutil.rmtree(kpath, ignore_errors=True)
         return {"expired": n_expired, "kept": n_kept, "filter": filter_action}
 
     def run_wave(self) -> WaveMetrics:

@@ -173,10 +173,19 @@ def test_replace_is_atomic_swap(spark, tmp_path):
     # materialized replacement source (mirrors expire's discipline)
     kpath = str(tmp_path / "kept")
     t.read().filter(F.col("url_hash") >= 120).write.parquet(kpath)
-    t.replace(spark.read.parquet(kpath), wave=1)
-    assert t.latest_id() > old_latest
+    new_id = t.replace(spark.read.parquet(kpath), wave=1)
+    assert new_id > old_latest
     got = {r["url_hash"] for r in t.read().collect()}
     assert got == set(range(120, 150))
+    # vacuum (default): dropped snapshots' data dirs are physically gone,
+    # the new one's remains — a recurring replace must not leak dead
+    # copies of the table
+    import os
+
+    data = os.path.join(str(tmp_path / "t"), "t_rep", "data")
+    dirs = {d for d in os.listdir(data) if d.startswith("snap_id=")}
+    assert f"snap_id={new_id}" in dirs
+    assert not {d for d in dirs if d != f"snap_id={new_id}"}
     # one live snapshot; a later commit appends on top of the replacement
     t.commit(
         spark.range(500, 510).select(
