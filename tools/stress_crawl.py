@@ -12,7 +12,7 @@ measurement): host index = floor(n_hosts * u^5) over a per-id uniform
 hash — host0 absorbs ~22% of the seeds, the same heavy-head shape as
 gen.frontier_urls' Zipf(1.2).
 
-Usage: python tools/stress_crawl.py [n_seeds] [waves] [cpus] [seen_filter]
+Usage: python tools/stress_crawl.py [n_seeds] [waves] [cpus] [seen_filter] [expire]
 seen_filter: bloom (default) | cuckoo — the north rule names both; a
 cuckoo leg must reproduce the bloom leg's per-wave scheduled/extracted
 counts exactly (the prefilter is advisory, the exact join decides).
@@ -84,6 +84,30 @@ def main() -> int:
     queued = eng.queued_rows()
 
     res = eng.run(waves)
+
+    # optional recrawl leg (5th arg "expire"): expire wave-0 seen rows
+    # mid-crawl, time the maintenance op, and run one more wave — the
+    # re-fetch must schedule ONLY previously-seen-or-queued urls and the
+    # wave cost must stay in the per-wave band (the queue view and the
+    # copy-on-write swap both keep their plans at this size)
+    expire_leg = None
+    if len(sys.argv) > 5 and sys.argv[5] == "expire":
+        t1 = time.time()
+        out = eng.expire(0)
+        exp_s = round(time.time() - t1, 2)
+        w = eng.run_wave()
+        expire_leg = {
+            "expired": out["expired"],
+            "kept": out["kept"],
+            "filter": out["filter"],
+            "expire_seconds": exp_s,
+            "recrawl_wave": {
+                "scheduled": w.scheduled,
+                "extracted": w.extracted,
+                "seconds": round(w.seconds, 2),
+            },
+        }
+
     per_wave = [
         {
             "wave": w.wave,
@@ -137,6 +161,7 @@ def main() -> int:
         "total_extracted": res.total_extracted,
         "seen_rows": seen,
         "seen_filter": seen_filter,
+        "expire_leg": expire_leg,
         "bloom_engaged": bloom_engaged,
         "queue_view_exchange_free": plan_ok,
     }
