@@ -94,10 +94,17 @@ def test_expire_bloom_vs_cuckoo_identical(spark, tmp_path, setup):
     cuckoo deletes fingerprints in place, the bloom resets for backfill."""
     urls_df, robots_df = setup
     results = {}
-    for name in ("bloom", "cuckoo"):
+    # third leg: bloom over the TABLE transport (broadcast cap 0) — the
+    # reset path must also rebuild via the t_bloom backfill branch
+    configs = [
+        ("bloom", "bloom", {}),
+        ("cuckoo", "cuckoo", {}),
+        ("bloom_table", "bloom", {"bloom_broadcast_cap": 0}),
+    ]
+    for name, filt, extra in configs:
         eng = _mk_engine(
             spark, tmp_path / f"f_{name}", robots_df,
-            use_bloom="auto", bloom_min_seen=0, seen_filter=name,
+            use_bloom="auto", bloom_min_seen=0, seen_filter=filt, **extra,
         )
         eng.seed(urls_df)
         eng.run(2)
@@ -112,11 +119,20 @@ def test_expire_bloom_vs_cuckoo_identical(spark, tmp_path, setup):
             ),
             "scheduled": [w.scheduled for w in res.waves],
         }
-    assert results["bloom"]["seen"] == results["cuckoo"]["seen"]
-    assert results["bloom"]["scheduled"] == results["cuckoo"]["scheduled"]
+    assert (
+        results["bloom"]["seen"]
+        == results["cuckoo"]["seen"]
+        == results["bloom_table"]["seen"]
+    )
+    assert (
+        results["bloom"]["scheduled"]
+        == results["cuckoo"]["scheduled"]
+        == results["bloom_table"]["scheduled"]
+    )
     assert results["bloom"]["expire"] == results["cuckoo"]["expire"]
     assert results["bloom"]["filter"] == "reset"  # blooms cannot delete
     assert results["cuckoo"]["filter"] == "deleted"  # cuckoos can
+    assert results["bloom_table"]["filter"] == "reset"  # table transport too
 
 
 def test_expire_preserves_bucketed_plan_and_resume(spark, tmp_path, setup):
