@@ -329,9 +329,10 @@ class SnapshotTable:
         concurrent reader holds a pre-swap plan AND df does not itself
         read from this table's live snapshots (stage it first, as
         CrawlEngine.expire does) — both true for the engine, whose
-        maintenance ops run between waves; pass vacuum=False to keep
-        time-travel to the old files."""
-        dropped = [s["id"] for s in self._manifest()["snapshots"]]
+        maintenance ops run between waves.  Note the swap alone already
+        makes prior snapshots unreadable through read() (they leave the
+        manifest); vacuum=False only keeps their files on disk for
+        out-of-band forensics."""
         snap_id, rows = self._write_snapshot(df, rows)
 
         def swap(m: dict) -> dict:
@@ -344,23 +345,44 @@ class SnapshotTable:
 
         self._publish(swap)
         if vacuum:
-            import shutil
-
-            for sid in dropped:
-                if sid == snap_id:
-                    continue
-                path = (
-                    os.path.join(self.data_dir, f"snap_id={sid}")
-                    if self.bucket_by
-                    else os.path.join(self.dir, f"snap={sid}")
-                )
-                shutil.rmtree(path, ignore_errors=True)
+            self.vacuum()
         return snap_id
+
+    def vacuum(self) -> int:
+        """Physically delete every snapshot data directory whose id is not
+        in the LIVE manifest — swept from DISK, not from a remembered
+        drop-list, so it also reclaims orphans from earlier crashes
+        (a commit that burned an id, a replace interrupted between its
+        swap and its cleanup, a trim_to_wave rollback).  Single-writer
+        assumption: no concurrent writer holds an unsealed claimed id.
+        Returns the number of directories removed."""
+        import re as _re
+        import shutil
+
+        live = {s["id"] for s in self._manifest()["snapshots"]}
+        removed = 0
+        base = self.data_dir if self.bucket_by else self.dir
+        pat = _re.compile(r"snap_id=(\d+)$" if self.bucket_by else r"snap=(\d+)$")
+        if not os.path.isdir(base):
+            return 0
+        for entry in os.listdir(base):
+            m = pat.match(entry)
+            if m and int(m.group(1)) not in live:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                removed += 1
+        return removed
 
     def read(self, snapshot_id: int | None = None) -> DataFrame | None:
         man = self._manifest()
         sid = snapshot_id if snapshot_id is not None else man["latest"]
         if sid is None:
+            return None
+        # a dropped/never-sealed id resolves to None, not to whatever files
+        # happen to remain on disk (replace-swapped and trimmed snapshots
+        # are unreachable BY CONTRACT, vacuumed or not)
+        if snapshot_id is not None and not any(
+            s["id"] == sid for s in man["snapshots"]
+        ):
             return None
         if self.bucket_by:
             self._ensure_registered(man)

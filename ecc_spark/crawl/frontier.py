@@ -490,8 +490,12 @@ class CrawlEngine:
         try:
             kept.write.mode("overwrite").parquet(kpath)
             # manifest arithmetic, not a read-back count job over data we
-            # just wrote (the same trust queued_rows() places in it)
-            n_kept = self._seen_count - n_expired
+            # just wrote.  The MANIFEST row sum is the durable truth —
+            # self._seen_count is engine state and is 0 on a freshly
+            # opened (non-resumed) handle, which would seal a negative
+            # count into the manifest forever.
+            n_kept = (self.t_seen.latest_rows() or 0) - n_expired
+            assert n_kept >= 0, (n_kept, n_expired)
             # stamp with the frontier's last committed wave so a resume's
             # trim-to-frontier-wave reconciliation keeps this snapshot
             stamp = self.t_frontier.latest_wave()

@@ -129,7 +129,11 @@ def test_expire_bloom_vs_cuckoo_identical(spark, tmp_path, setup):
         == results["cuckoo"]["scheduled"]
         == results["bloom_table"]["scheduled"]
     )
-    assert results["bloom"]["expire"] == results["cuckoo"]["expire"]
+    assert (
+        results["bloom"]["expire"]
+        == results["cuckoo"]["expire"]
+        == results["bloom_table"]["expire"]
+    )
     assert results["bloom"]["filter"] == "reset"  # blooms cannot delete
     assert results["cuckoo"]["filter"] == "deleted"  # cuckoos can
     assert results["bloom_table"]["filter"] == "reset"  # table transport too
@@ -211,3 +215,53 @@ def test_replace_is_atomic_swap(spark, tmp_path):
         wave=2,
     )
     assert t.read().count() == 40
+
+
+def test_expire_on_freshly_opened_handle(spark, tmp_path, setup):
+    """expire() must take its kept-count from the MANIFEST, not engine
+    state: a handle opened on an existing workdir without resume has
+    _seen_count == 0, and deriving n_kept from it would seal a negative
+    row count into the seen manifest forever."""
+    urls_df, robots_df = setup
+    eng = _mk_engine(spark, tmp_path / "e4", robots_df, use_bloom=False)
+    eng.seed(urls_df)
+    eng.run(2)
+    n_w1 = eng.seen().filter(F.col("wave") == 1).count()
+
+    fresh = _mk_engine(spark, tmp_path / "e4", robots_df, use_bloom=False)
+    out = fresh.expire(0)
+    assert out["kept"] == n_w1
+    assert fresh.t_seen.latest_rows() == n_w1  # manifest stays sane
+    assert fresh.seen().count() == n_w1
+
+
+def test_read_of_dropped_snapshot_is_none_and_vacuum_sweeps_orphans(
+    spark, tmp_path
+):
+    import os
+
+    from ecc_spark.crawl.checkpoint import SnapshotTable
+
+    # plain (non-append) table: replace drops snap 1; read(1) must be
+    # None whether or not its files survive on disk
+    t = SnapshotTable(spark, str(tmp_path / "p"), "t_plain")
+    t.commit(spark.range(5).select(F.col("id")), wave=0)
+    old = t.latest_id()
+    t.replace(spark.range(9).select(F.col("id")), wave=0, vacuum=False)
+    assert t.read(old) is None
+    assert t.read().count() == 9
+
+    # bucketed: a stray orphan dir (crashed commit / interrupted vacuum)
+    # is reclaimed by the next vacuum sweep
+    b = SnapshotTable(
+        spark, str(tmp_path / "b"), "t_buck", append=True,
+        bucket_by="url_hash", n_buckets=2,
+    )
+    b.commit(
+        spark.range(10).select(F.col("id").alias("url_hash")), wave=0
+    )
+    data = os.path.join(str(tmp_path / "b"), "t_buck", "data")
+    os.makedirs(os.path.join(data, "snap_id=999"), exist_ok=True)
+    assert b.vacuum() == 1  # only the orphan goes
+    assert not os.path.isdir(os.path.join(data, "snap_id=999"))
+    assert b.read().count() == 10
