@@ -93,19 +93,22 @@ def build_contexts(
             # test/verification mode only: driver memory bounds it to corpora
             # of at most PARITY_MAX_MATCHES matches. Use the default
             # sample_mode="hash" (fully distributed window top-k) on real data.
-            n_matches = ctx.count()
-            if n_matches > PARITY_MAX_MATCHES:
-                raise ValueError(
-                    f"sample_mode='parity' collects every match key to the "
-                    f"driver; {n_matches} matches exceeds the "
-                    f"{PARITY_MAX_MATCHES} ceiling. Use sample_mode='hash' "
-                    f"(distributed per-entity top-k) for corpora this size."
-                )
+            # ceiling enforced on the SAME collect that fetches the keys
+            # (limit(N+1) overfetch) — a separate ctx.count() guard would
+            # execute the whole upstream join plan twice per parity run
             keys = (
                 ctx.select("mid", "doc_seq", "match_seq")
-                .orderBy("mid", "doc_seq", "match_seq")
+                .limit(PARITY_MAX_MATCHES + 1)
                 .collect()
             )
+            if len(keys) > PARITY_MAX_MATCHES:
+                raise ValueError(
+                    f"sample_mode='parity' collects every match key to the "
+                    f"driver; over {PARITY_MAX_MATCHES} matches exceeds the "
+                    f"ceiling. Use sample_mode='hash' "
+                    f"(distributed per-entity top-k) for corpora this size."
+                )
+            keys.sort(key=lambda r: (r["mid"], r["doc_seq"], r["match_seq"]))
             per_entity: dict[str, list[tuple[int, int]]] = {}
             for r in keys:
                 per_entity.setdefault(r["mid"], []).append((r["doc_seq"], r["match_seq"]))

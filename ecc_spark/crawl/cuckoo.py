@@ -212,22 +212,32 @@ def build_cuckoo(
     return keyed.groupBy("bucket").applyInPandas(to_table, schema=CUCKOO_SCHEMA)
 
 
+def _fold_deltas(bkt: int, tables, saturated_flags) -> tuple[np.ndarray, bool]:
+    """Fold multiple per-bucket delta tables into one by fingerprint
+    re-insertion; the sat-before-merge ordering matters (a bucket already
+    saturated must not resurrect via a later merge).  Shared by
+    merge_cuckoos and the sharded cogroup test — keep the loops in sync
+    by having exactly one."""
+    rng = np.random.default_rng(bkt ^ 0x5EED)
+    acc = None
+    sat = False
+    for raw, s in zip(tables, saturated_flags):
+        tbl = np.frombuffer(raw, dtype=np.uint16).reshape(-1, _SLOTS)
+        sat = sat or bool(s)
+        if acc is None:
+            acc = tbl.copy()
+        elif not sat:
+            sat = not _merge_tables(acc, tbl, rng)
+    return acc, sat
+
+
 def merge_cuckoos(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two cuckoo tables per bucket by fingerprint re-insertion
     (incremental maintenance: build over each wave's delta, merge)."""
 
     def merged(pdf: pd.DataFrame) -> pd.DataFrame:
         bkt = int(pdf["bucket"].iloc[0])
-        rng = np.random.default_rng(bkt ^ 0x5EED)
-        acc = None
-        sat = False
-        for raw, s in zip(pdf["table"], pdf["saturated"]):
-            tbl = np.frombuffer(raw, dtype=np.uint16).reshape(-1, _SLOTS)
-            sat = sat or bool(s)
-            if acc is None:
-                acc = tbl.copy()
-            elif not sat:
-                sat = not _merge_tables(acc, tbl, rng)
+        acc, sat = _fold_deltas(bkt, pdf["table"], pdf["saturated"])
         return pd.DataFrame(
             {"bucket": [bkt], "table": [acc.tobytes()], "saturated": [sat]}
         )
@@ -346,16 +356,7 @@ def filter_unseen_sharded(
             maybe = np.zeros(len(h), dtype=bool)
         else:
             bkt = int(tpdf["bucket"].iloc[0])
-            rng = np.random.default_rng(bkt ^ 0x5EED)
-            acc = None
-            sat = False
-            for raw, s in zip(tpdf["table"], tpdf["saturated"]):
-                tbl = np.frombuffer(raw, dtype=np.uint16).reshape(-1, _SLOTS)
-                sat = sat or bool(s)
-                if acc is None:
-                    acc = tbl.copy()
-                elif not sat:
-                    sat = not _merge_tables(acc, tbl, rng)
+            acc, sat = _fold_deltas(bkt, tpdf["table"], tpdf["saturated"])
             maybe = np.ones(len(h), dtype=bool) if sat else _membership(acc, h)
         return cpdf.drop(columns=["_bucket"]).assign(_maybe=maybe)
 

@@ -709,7 +709,9 @@ class CrawlEngine:
         # exact joins, never drops them. Both sides of the delta join are
         # O(wave)-sized — AQE broadcasts when small, shuffles two deltas
         # otherwise; the O(total) table never moves either way.
-        cand = filter_unseen(cand, seen, bloom, self.bloom_buckets)
+        cand = filter_unseen(
+            cand, seen, bloom, self.bloom_buckets, kind=self.seen_filter
+        )
         cand = cand.join(fetched.select("url_hash"), "url_hash", "left_anti")
 
         # a URL discovered earlier but deferred by budget is still queued —

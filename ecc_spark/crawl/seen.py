@@ -102,6 +102,7 @@ def filter_unseen(
     seen: DataFrame,
     bloom=None,
     n_buckets: int = 64,
+    kind: str | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is not in ``seen``.
 
@@ -147,8 +148,22 @@ def filter_unseen(
     bc = bloom if hasattr(bloom, "value") else spark.sparkContext.broadcast(bloom)
     from ecc_spark.crawl import cuckoo as _cuckoo
 
-    payload = bloom if not hasattr(bloom, "value") else bc.value
-    if isinstance(payload, _cuckoo.CuckooTables):
+    # Dispatch WITHOUT touching bc.value when the caller says what it
+    # broadcast (kind="bloom"|"cuckoo", the wave loop always does):
+    # driver-side Broadcast.value re-unpickles the whole payload from its
+    # spill file on every access — up to bloom_broadcast_cap (~1 GiB)
+    # deserialized once per wave, plus a pinned duplicate in driver
+    # memory, purely to run an isinstance check.
+    if kind is None:
+        kind = (
+            "cuckoo"
+            if isinstance(
+                bloom if not hasattr(bloom, "value") else bc.value,
+                _cuckoo.CuckooTables,
+            )
+            else "bloom"
+        )
+    if kind == "cuckoo":
         return _settle(_cuckoo.flag_maybe_broadcast(candidates, bc, n_buckets), seen)
 
     @F.pandas_udf(T.BooleanType())

@@ -164,14 +164,17 @@ def encode(
     """Apply a learned merge list to the corpus: adds ``out_col`` with
     each document's BPE token sequence. Per-word rank-ordered merge
     application is a sequential dict-lookup loop → Arrow-batched pandas
-    UDF, memoised per batch (Zipf's law makes the cache hit rate high)."""
-    import re
+    UDF, memoised per batch (Zipf's law makes the cache hit rate high).
 
+    Tokenization happens IN-PLAN (F.regexp_extract_all — Java regex, the
+    exact engine fit() trained with); the UDF only sees token arrays.
+    Re-tokenizing with Python's ``re`` here would silently diverge on
+    inputs where Java and Python disagree about ``\\s`` (e.g. a
+    non-breaking space), producing a token stream fit() never saw."""
     ranks = {(x, y): r for r, x, y, _ in merges}
-    tok_re = re.compile(_TOK_RE)
 
     @pandas_udf("array<string>")
-    def bpe(texts: pd.Series) -> pd.Series:
+    def bpe(tok_arrays: pd.Series) -> pd.Series:
         cache: dict[str, list[str]] = {}
 
         def word_bpe(w: str) -> list[str]:
@@ -204,13 +207,14 @@ def encode(
             cache[w] = syms
             return syms
 
-        return texts.map(
-            lambda t: [
-                s for w in tok_re.findall((t or "").lower()) for s in word_bpe(w)
-            ]
+        return tok_arrays.map(
+            lambda toks: []
+            if toks is None
+            else [s for w in toks for s in word_bpe(w)]
         )
 
-    return docs.withColumn(out_col, bpe(F.col(text_col)))
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOK_RE), 0)
+    return docs.withColumn(out_col, bpe(toks))
 
 
 def bpe_train(spark: SparkSession, sf: str, n_merges: int = 12) -> DataFrame:

@@ -32,6 +32,17 @@ def _n_docs(sf_dir: str) -> int:
     import re
 
     m = re.search(r"sf(\d+(?:\.\d+)?)/*$", sf_dir.rstrip("/"))
+    if m is None:
+        # keep the toy default for ad-hoc fixture dirs, but never
+        # SILENTLY: a benchmark pointed at 'sf0.1-v2' measuring a 60-doc
+        # corpus with no signal is worse than the warning noise
+        import warnings
+
+        warnings.warn(
+            f"_n_docs: no sf<float> suffix in {sf_dir!r}; defaulting to "
+            f"the 60-doc toy corpus",
+            stacklevel=2,
+        )
     sf = float(m.group(1)) if m else 0.001
     if sf >= 1:
         return int(400 * sf / 0.1)  # keep linear growth past the tested scales

@@ -69,5 +69,11 @@ def test_n_docs_parses_numeric_sf_suffix():
     assert _n_docs("/root/testdata/sf0.5") == 400
     assert _n_docs("/root/testdata/sf1") == 4000
     assert _n_docs("/root/testdata/sf10/") == 40000
-    # unparseable paths keep the safe toy default
-    assert _n_docs("/tmp/some_fixture_dir") == 60
+    # unparseable paths keep the safe toy default — but LOUDLY (a bench
+    # pointed at 'sf0.1-v2' silently measuring 60 docs is the failure)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _n_docs("/tmp/some_fixture_dir") == 60
+    assert any("toy corpus" in str(w.message) for w in caught)

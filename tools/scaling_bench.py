@@ -43,7 +43,9 @@ from ecc_spark.crawl.frontier import CrawlEngine
 from ecc_spark.session import get_spark
 
 cpus, n_urls, waves, budget = {cpus}, {n_urls}, {waves}, {budget}
-spark = get_spark("scaling_bench", cpus=cpus)
+sp = {shuffle_partitions!r}
+spark = (get_spark("scaling_bench", cpus=cpus) if sp is None
+         else get_spark("scaling_bench", cpus=cpus, shuffle_partitions=sp))
 urls = [u["url"] for u in gen.frontier_urls(n_urls, n_hosts=60, seed=11)]
 robots_txt = spark.createDataFrame(gen.robots_txt_bodies(n_hosts=60, seed=9),
     schema="host string, content string")
@@ -111,8 +113,10 @@ def _run_submit_leg(zip_path: str, cpus: int, n_urls: int, waves: int, budget: i
         shutil.rmtree(cwd, ignore_errors=True)
 
 
-def _run_inprocess_leg(cpus: int, n_urls: int, waves: int, budget: int) -> dict:
-    code = _CHILD.format(repo=REPO, cpus=cpus, n_urls=n_urls, waves=waves, budget=budget)
+def _run_inprocess_leg(cpus: int, n_urls: int, waves: int, budget: int,
+                       shuffle_partitions: int | None = None) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, n_urls=n_urls, waves=waves,
+                         budget=budget, shuffle_partitions=shuffle_partitions)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600, cwd=REPO,
@@ -132,7 +136,11 @@ def run_at(cpus: int, n_urls: int, waves: int, budget: int, repeats: int = 2,
             res = _run_submit_leg(zip_path, cpus, n_urls, waves, budget,
                                   shuffle_partitions)
         else:
-            res = _run_inprocess_leg(cpus, n_urls, waves, budget)
+            # honor the protocol on the fallback path too — silently
+            # running tuned partitions while the report claims "fixed"
+            # would make the efficiency number incomparable
+            res = _run_inprocess_leg(cpus, n_urls, waves, budget,
+                                     shuffle_partitions)
         legs.append(res["seconds"])
         if best is None or res["throughput"] > best["throughput"]:
             best = res
