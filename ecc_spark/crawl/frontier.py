@@ -446,7 +446,13 @@ class CrawlEngine:
         kept = seen.filter(F.col("wave") > up_to_wave)
         n_expired = expired.count()
         if n_expired == 0:
-            return {"expired": 0, "kept": self._seen_count, "filter": "none"}
+            # manifest truth, not engine state: a freshly opened handle
+            # has _seen_count == 0 regardless of what the table holds
+            return {
+                "expired": 0,
+                "kept": self.t_seen.latest_rows() or 0,
+                "filter": "none",
+            }
 
         filter_action = "none"
         if self._bloom is not None or self.t_bloom.latest_id() is not None:
@@ -495,7 +501,12 @@ class CrawlEngine:
             # opened (non-resumed) handle, which would seal a negative
             # count into the manifest forever.
             n_kept = (self.t_seen.latest_rows() or 0) - n_expired
-            assert n_kept >= 0, (n_kept, n_expired)
+            if n_kept < 0:  # not assert: -O must not strip the guard
+                raise RuntimeError(
+                    f"seen manifest rows ({self.t_seen.latest_rows()}) < "
+                    f"expired rows ({n_expired}); refusing to seal a "
+                    f"negative count into the seen table"
+                )
             # stamp with the frontier's last committed wave so a resume's
             # trim-to-frontier-wave reconciliation keeps this snapshot
             stamp = self.t_frontier.latest_wave()

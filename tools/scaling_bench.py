@@ -165,12 +165,15 @@ def main() -> int:
             check=True, capture_output=True,
         )
         launch = "spark-submit --py-files dist/ecc_spark.zip (bare cwd, scrubbed PYTHONPATH)"
-    sp_n = sp_4n = None
     if protocol == "tuned":
         sp_n, sp_4n = max(2 * n, 8), max(2 * 4 * n, 8)
         launch += f"; shuffle partitions tuned per leg ({sp_n}/{sp_4n})"
     else:
-        launch += "; shuffle partitions fixed (cluster-mode default) at both legs"
+        # EXPLICIT 64 on both legs and both launch paths — leaving None
+        # here made the in-process fallback derive per-leg tuned values
+        # while the report claimed the fixed protocol
+        sp_n = sp_4n = 64
+        launch += "; shuffle partitions fixed (cluster-mode default, 64) at both legs"
     r_n = run_at(n, n_urls, waves, budget, repeats, zip_path=zip_path,
                  shuffle_partitions=sp_n)
     r_4n = run_at(4 * n, n_urls, waves, budget, repeats, zip_path=zip_path,
