@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ecc_spark.ops.corpus_ops import _TOK_RE
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import load_split
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -220,7 +220,7 @@ def encode(
 def bpe_train(spark: SparkSession, sf: str, n_merges: int = 12) -> DataFrame:
     """Registry query: learned merge table over the documents corpus —
     (rank, x, y, pair_count) in learned order."""
-    merges = fit(load(spark, sf, "documents"), n_merges=n_merges)
+    merges = fit(load_split(spark, sf, "documents"), n_merges=n_merges)
     return spark.createDataFrame(
         merges, schema="rank int, x string, y string, pair_count long"
     )

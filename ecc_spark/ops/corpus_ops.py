@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import load, load_split
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -56,7 +56,7 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     b·dl/avgdl)). Ties broken by doc_id so the cut is deterministic.
     """
     d = (
-        load(spark, sf, "documents")
+        load_split(spark, sf, "documents")
         .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
         .withColumn("dl", F.size("toks"))
     )
@@ -118,7 +118,7 @@ _NGRAM_TOPK = 20
 def ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top corpus-wide word 3-grams — the boilerplate detector feeding
     dedup_ngram_jaccard's shingle-DF cap and quality blocklists."""
-    d = load(spark, sf, "documents").select(F.split("text", " ").alias("w"))
+    d = load_split(spark, sf, "documents").select(F.split("text", " ").alias("w"))
     d = d.filter(F.size("w") >= _NGRAM_N)
     shingles = F.transform(
         F.sequence(F.lit(0), F.size("w") - _NGRAM_N),
@@ -152,7 +152,7 @@ def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
     token ratio, most-frequent-token dominance, duplicate-3-gram
     fraction. Two (doc_id, value) hash-aggs — group cardinality is
     bounded by document length, so the shuffle has no hot keys."""
-    base = load(spark, sf, "documents").select(
+    base = load_split(spark, sf, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     ).filter(F.size("w") >= _NGRAM_N)
 
@@ -359,7 +359,7 @@ def decontaminate(spark: SparkSession, sf: str, n: int = _DECON_N) -> DataFrame:
     hashes BROADCAST; the corpus side explodes its 8-grams and inner-
     joins the broadcast, so the 100 TB side is one narrow pass + one
     (doc_id)-keyed count agg. No shuffle carries document text."""
-    d = load(spark, sf, "documents").select(
+    d = load_split(spark, sf, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     ).filter(F.size("w") >= n)
     grams = F.array_distinct(
@@ -579,7 +579,7 @@ def bigram_lm_scores(docs: DataFrame, k: float = 0.5) -> DataFrame:
 
 
 def lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
-    return bigram_lm_scores(load(spark, sf, "documents"))
+    return bigram_lm_scores(load_split(spark, sf, "documents"))
 
 
 # -- sliding-window chunking (long-doc splitting / RAG prep) ----------
@@ -637,7 +637,7 @@ def chunk_documents(
 
 
 def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    return chunk_documents(load(spark, sf, "documents"))
+    return chunk_documents(load_split(spark, sf, "documents"))
 
 
 QUERIES.update(

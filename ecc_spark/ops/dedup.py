@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 from pyspark.storagelevel import StorageLevel
 
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import load, load_split
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -96,15 +96,13 @@ def ngram_jaccard_pairs(
     ~n²/2^65, noise for near-dup detection) → df aggregate (partial+
     final, map-side combined) → the tiny hot-shingle set (df > cap)
     removed with a BROADCAST anti-join (no extra shuffle of the big
-    side) → POSTING LISTS: groupBy(sh).collect_list(doc_id) — safe only
-    AFTER the cap (an uncapped boilerplate shingle would materialize a
-    10^6-element buffer in one group; capped lists are ≤ cap) → pairs
-    generated per list with array combinatorics (sorted list, i<j ⇒
-    doc_a<doc_b) and counted; per-doc sizes explode the SAME posting
-    frame, so its exchange is computed once and reused
-    (ReusedExchange — the earlier self-join shape evaluated the
-    scan+explode lineage 8×, this shape 2×: once for the df agg, once
-    for the postings). Per-shingle pair fan-out is bounded by cap²; the
+    side) → POSTING LISTS: groupBy(sh).array_sort(collect_list(doc_id)) —
+    safe only AFTER the cap (an uncapped boilerplate shingle would
+    materialize a 10^6-element buffer in one group; capped lists are
+    ≤ cap), sorted INSIDE the aggregate → pairs via two chained codegen
+    generates (posexplode + explode(slice); sorted list ⇒ doc_a<doc_b)
+    and counted; per-doc sizes explode the SAME persisted posting
+    frame. Per-shingle pair fan-out is bounded by cap²; the
     hash is internal only — the output (doc pairs + jaccard over the
     capped universe) is hash-free, so the DuckDB oracle states the same
     computation over plain string shingles."""
@@ -120,9 +118,23 @@ def ngram_jaccard_pairs(
             )
         ).alias("s"),
     ).select("doc_id", F.xxhash64("s").alias("sh"))
+    # r6: persist the hashed shingle frame — BOTH the df-cap aggregate and
+    # the kept-side anti-join consume it, and unpersisted each consumer
+    # re-ran the whole scan+split+distinct lineage (one full extra corpus
+    # pass at 100 TB). 16 B/row, far narrower than the text it derives
+    # from; MEMORY_AND_DISK spills gracefully. Freed by the janitor on
+    # the next operator call.
+    _drain_persisted()
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap)
     kept = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    posting = kept.groupBy("sh").agg(F.collect_list("doc_id").alias("docs"))
+    # sorted INSIDE the aggregate: pair generation below reads a plain
+    # column. The previous shape sorted inside an interpreted higher-order
+    # lambda, which re-evaluated array_sort per pair element — measured
+    # 32.6s for bare pair generation at sf1.0 vs 0.4s for this shape.
+    posting = kept.groupBy("sh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
     # posting feeds pairs AND sizes, sizes feeds both sides of the final
     # join — Catalyst gets no exchange reuse across these subtrees
     # (measured: the lineage re-evaluates per consumer), so materialize
@@ -134,7 +146,6 @@ def ngram_jaccard_pairs(
     # call's frames — a long-lived session looping over corpora holds at
     # most one call's cache (two concurrent calls in one session would
     # recompute, never miscompute).
-    _drain_persisted()
     posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
@@ -142,21 +153,21 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _PERSISTED.extend([posting, sizes])
-    ds = F.array_sort("docs")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ds) - 1),
-            lambda i: F.transform(
-                F.slice(ds, i + 1, F.size(ds)),
-                lambda dd: F.struct(F.element_at(ds, i).alias("doc_a"), dd.alias("doc_b")),
-            ),
-        )
-    )
+    _PERSISTED.extend([sh, posting, sizes])
+    # pair generation as two chained WHOLE-STAGE-CODEGEN generates
+    # (posexplode → explode(slice)) instead of interpreted nested
+    # F.transform lambdas building a C(n,2) struct array per posting row
+    # (guide §4.1: prefer built-ins/codegen over interpreted paths).
+    # docs is sorted ascending, so element i pairs with every later
+    # element ⇒ doc_a < doc_b by construction — identical pair multiset.
     pairs = (
-        posting.filter(F.size("docs") >= 2)  # also guards sequence(1, 0)
-        .select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        posting.filter(F.size("docs") >= 2)
+        .select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.alias("sa")
@@ -175,7 +186,10 @@ def ngram_jaccard_pairs(
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return ngram_jaccard_pairs(load(spark, sf, "documents"))
+    # load_split: the testdata documents file is one unsplittable row
+    # group — without the repartition the whole shingle explode runs on
+    # one task (no-op on real multi-file inputs; see tables.load_split)
+    return ngram_jaccard_pairs(load_split(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -232,33 +246,44 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH candidate pairs: shingle → md5 once → 8 multiplicative
     universal hashes (integer MIN of (A_i·h+B_i) mod 2^61−1) → 4 bands of
-    2 → bucket-join on band key → distinct pairs. The full signature
-    matrix is one narrow projection; the only shuffle keys are band
-    strings (uniform). At 10^10 docs the band join replaces the O(n²)
-    comparison with near-linear candidate generation."""
-    d = load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    2 → band posting lists → distinct pairs. The only shuffle keys are
+    doc_id (signature agg) and band strings (uniform). At 10^10 docs the
+    banding replaces the O(n²) comparison with near-linear candidate
+    generation.
+
+    r6 perf (guide §4.1): signatures were an F.transform(hv, …) per hash
+    function over a per-doc array built by ANOTHER nested transform —
+    all interpreted, single pass over one unsplittable scan task.  Now
+    the distinct shingles EXPLODE (codegen) into (doc_id, h) rows and the
+    8 mins are one map-side-combined hash-agg keyed on doc_id — same
+    per-doc min over the same h multiset, identical signatures; pair
+    generation uses the same codegen posexplode+slice shape as
+    ngram_jaccard_pairs."""
+    d = load_split(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     d = d.filter(F.size("w") >= 3)
-    docs = d.select(
+    sh = d.select(
         "doc_id",
-        F.transform(
+        F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), F.size("w") - 3),
                     lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
                 )
-            ),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        ).alias("hv"),
-    )
-
-    def mh(i: int):
-        return F.array_min(
-            F.transform(
-                "hv", lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_MERSENNE61)
             )
-        ).alias(f"mh{i}")
-
-    sigs = docs.select("doc_id", *[mh(i) for i in range(_N_HASHES)])
+        ).alias("s"),
+    ).select(
+        "doc_id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_MERSENNE61)
+            ).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
     bands = [
         F.concat_ws(
             "|",
@@ -279,19 +304,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    ds = F.col("docs")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ds) - 1),
-            lambda i: F.transform(
-                F.slice(ds, i + 1, F.size(ds)),
-                lambda dd: F.struct(F.element_at(ds, i).alias("doc_a"), dd.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        posting.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        posting.select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -320,7 +338,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     aggregate. Two hash-aggregations on (doc_id[, bit]) — no joins; near-dup
     pairs then come from bucketing on simhash (equal hashes) or the banded
     join in ``simhash_pairs`` for hamming ≤ k."""
-    d = load(spark, sf, "documents")
+    d = load_split(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")).select(
         "doc_id", F.md5("t").alias("h")
     )
@@ -547,7 +565,7 @@ def dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     semantics DuckDB states differently enough that the hash layer
     (xxhash64) has no portable twin; semantics are pinned by the
     pure-Python mirror test instead."""
-    return dup_spans(load(spark, sf, "documents"), k=8)
+    return dup_spans(load_split(spark, sf, "documents"), k=8)
 
 
 def substring_cut(docs: DataFrame, k: int = 8, min_count: int = 2) -> DataFrame:

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecc_spark.ops.quality import featurize
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import load_split
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -64,10 +64,26 @@ def dsir_log_ratios(
     tables are ≤ V rows; the join and the arithmetic never touch the
     corpus again.
     """
+    # r6 (verdict fix): persist BOTH count tables before the eager totals
+    # collect — unpersisted, the λ join re-ran featurize over the full
+    # corpora at action time (one extra 100 TB scan of `raw` in
+    # dsir_select's case).  ≤ V rows each (V = 2^18), trivially cached;
+    # freed by the shared janitor on the next operator call
+    # (ops/dedup.py pattern, same as bigram_lm_scores).
+    from pyspark.storagelevel import StorageLevel
+
+    from ecc_spark.ops.dedup import _PERSISTED, _drain_persisted
+
+    _drain_persisted()
     t_counts = featurize(target, text_col=text_col, n_features=n_features,
-                         key_cols=()).withColumnRenamed("c", "t")
+                         key_cols=()).withColumnRenamed("c", "t").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     r_counts = featurize(raw, text_col=text_col, n_features=n_features,
-                         key_cols=()).withColumnRenamed("c", "r")
+                         key_cols=()).withColumnRenamed("c", "r").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED.extend([t_counts, r_counts])
     totals_row = (
         t_counts.agg(F.sum("t").alias("n")).crossJoin(
             r_counts.agg(F.sum("r").alias("m"))
@@ -161,7 +177,7 @@ def dsir_select_query(spark: SparkSession, sf: str) -> DataFrame:
     """Target = even-crc32 documents (a deterministic stand-in for 'the
     high-quality corpus'); raw = all documents. Select 50 by importance.
     Output: (doc_id, logw, key) rounded for stable comparison."""
-    docs = load(spark, sf, "documents").select(
+    docs = load_split(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     target = docs.filter(F.crc32(F.encode("doc_id", "utf-8")) % 2 == 0)

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecc_spark.ops.corpus_ops import _TOK_RE
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import load_split
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -122,10 +122,20 @@ def fit_quality_classifier(
         "doc_id", F.col(label_col).cast("int").alias("label"), F.col(text_col).alias("text")
     )
     # aggregate straight to (label, bucket): ≤ 2·V keys at any corpus
-    # size, map-side combined, no join anywhere in training
+    # size, map-side combined, no join anywhere in training.
+    # r6 (verdict fix): persisted before the eager totals collect — the
+    # weights pivot below otherwise re-featurized the training corpus a
+    # second time at action (≤ 2·V rows cached; shared janitor frees it
+    # on the next operator call, the ops/dedup.py pattern).
+    from pyspark.storagelevel import StorageLevel
+
+    from ecc_spark.ops.dedup import _PERSISTED, _drain_persisted
+
+    _drain_persisted()
     per_bucket = featurize(
         labeled, n_features=n_features, key_cols=("label",)
-    ).withColumnRenamed("c", "n")
+    ).withColumnRenamed("c", "n").persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(per_bucket)
     # one driver row per class: token totals and doc counts
     totals = {
         int(r["label"]): (int(r["toks"]), int(r["docs"]))
@@ -215,7 +225,7 @@ def _degenerate_twin(docs: DataFrame) -> DataFrame:
 def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Train on even-hash docs (+ their degenerate twins), score the
     held-out odd-hash docs and twins. Output: (doc_id, score, pred)."""
-    docs = load(spark, sf, "documents").select(
+    docs = load_split(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     twins = _degenerate_twin(docs)

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ecc_spark.ops.tables import load
+from ecc_spark.ops.tables import load, load_split
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -63,7 +63,7 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine, rank FROM (
 
 
 def ann_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
+    e = load_split(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -98,7 +98,7 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine, rank FROM (
 
 
 def ann_ivf_bucketed(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
+    e = load_split(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("cell"),
@@ -212,7 +212,7 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     Cell bucketing bounds the pair count (the dedup analog of IVF);
     n_blocks=4 triangular blocking proves the hot-cell-parallel plan
     returns exactly the naive oracle's pairs."""
-    e = load(spark, sf, "embeddings")
+    e = load_split(spark, sf, "embeddings")
     return near_dup_pairs(e, threshold=0.3, n_blocks=4)
 
 
@@ -268,7 +268,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf: str, nprobe: int = _NPROBE) -> D
     rounded to 6 dp BEFORE use so the probe choice is reproducible
     across engines (float-sum order in avg differs between Spark
     partial aggregates and the sequential oracle)."""
-    e = load(spark, sf, "embeddings")
+    e = load_split(spark, sf, "embeddings")
     cent = (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
@@ -409,7 +409,7 @@ def ann_ivf_lloyd(
     `ann_ivf_multiprobe` keeps the label-cell contract so its DuckDB
     oracle stays expressible). Same search shape: broadcast centroids →
     rank cells per query → probe top ``nprobe`` → per-query top-5."""
-    e = load(spark, sf, "embeddings")
+    e = load_split(spark, sf, "embeddings")
     cent, assigned = kmeans_lloyd(e, k=k, n_iter=n_iter)
     ec = e.join(assigned, "vec_id")  # (vec_id, embedding, cell)
     q = ec.filter(F.col("vec_id") < 20).select(
@@ -565,7 +565,7 @@ def ann_pq_adc(
     array fold over the codes — the scan reads codes only, never raw
     embeddings. Approximate by construction (codes quantize), so this is
     pinned by recall tests, not a value oracle."""
-    e = load(spark, sf, "embeddings")
+    e = load_split(spark, sf, "embeddings")
     books = pq_train(e, m=m, k=k_cells)
     codes = pq_encode(e, books, m=m)
 
@@ -641,7 +641,7 @@ def semantic_dedup(
     """
     from ecc_spark.ops.dedup import connected_components
 
-    e = load(spark, sf, "embeddings")
+    e = load_split(spark, sf, "embeddings")
     cent, assigned = kmeans_lloyd(e, k=k, n_iter=n_iter)
     ec = e.select("vec_id", "embedding").join(assigned.select("vec_id", "cell"), "vec_id")
     # pair generation through near_dup_pairs with triangular block-salting:

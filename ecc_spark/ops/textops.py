@@ -5,6 +5,11 @@ fingerprinting over the `documents` table. Every formula is expressed in
 engine-portable primitives (split / regexp / md5 / integer math) so the
 DuckDB oracle states the same computation — the Spark side stays fully
 JVM-side (no UDFs: these run inside whole-stage codegen).
+
+r6: measured at sf1.0, a parallelism-restoring repartition (tables.
+load_split) LOSES on these row-local queries — the per-row work (~0.2-0.4s
+on one task) is smaller than the exchange it would add — so they stay on
+the plain scan deliberately.
 """
 
 from __future__ import annotations

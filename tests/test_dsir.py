@@ -145,3 +145,26 @@ def test_plan_broadcasts_lambda_and_no_python_udf(spark, corpus):
     assert "BroadcastHashJoin" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_fit_count_tables_persisted_no_refit_scan(spark):
+    """r6 verdict fix: the fit-side count tables feed BOTH the eager
+    totals collect and the λ join — un-persisted, the λ join re-ran the
+    corpus-wide featurize at action time (one extra full scan of `raw`).
+    The executed λ plan must read the count tables from cache."""
+    from ecc_spark.ops.dsir import dsir_log_ratios
+
+    v = 1 << 10
+    raw = spark.createDataFrame(
+        [("r0", "alpha beta gamma"), ("r1", "zzz zzz zzz")],
+        schema="doc_id string, text string",
+    )
+    target = spark.createDataFrame(
+        [("t0", "alpha beta gamma")], schema="doc_id string, text string"
+    )
+    lam_df, _default = dsir_log_ratios(raw, target, n_features=v)
+    lam_df.count()
+    plan = lam_df._jdf.queryExecution().executedPlan().toString()
+    # both count tables (target + raw) come from cache, not a re-scan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "Scan parquet" not in plan

@@ -157,3 +157,18 @@ def test_contract_query_runs(spark):
     bad = [r["score"] for r in rows if r["doc_id"].startswith("bad:")]
     good = [r["score"] for r in rows if not r["doc_id"].startswith("bad:")]
     assert sorted(bad)[len(bad) // 2] < sorted(good)[len(good) // 2]
+
+
+def test_fit_per_bucket_persisted_single_featurize(spark):
+    """r6 verdict fix: per_bucket feeds the eager totals collect AND the
+    weights pivot — un-persisted, the pivot re-featurized the training
+    corpus a second time at action. The executed weights plan must read
+    per_bucket from cache."""
+    train = spark.createDataFrame(
+        [("g0", "good formal prose here", 1), ("b0", "zzz zzz zzz", 0)],
+        schema="doc_id string, text string, label int",
+    )
+    model = fit_quality_classifier(train, n_features=1 << 10)
+    model.weights.count()
+    plan = model.weights._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
