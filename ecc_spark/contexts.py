@@ -148,8 +148,14 @@ def build_contexts(
     # (matcher-per-batch cache in udfs.py). The partition count is EXPLICIT:
     # a bare repartition("mid") is AQE-coalesced by byte size, which
     # funnels the crop/mask pandas-UDF stage (whose per-row Python cost
-    # AQE cannot see) into 1-2 tasks
-    ctx = ctx.repartition(spark.sparkContext.defaultParallelism * 2, "mid")
+    # AQE cannot see) into 1-2 tasks.
+    # r6: skipped when the hash-sampling window above just ran — that
+    # window already exchanged on hash(mid), the pat join is a broadcast,
+    # so rows reaching the UDF are ALREADY clustered by mid and the extra
+    # exchange was pure overhead (guide §2.4 "two operations keyed the
+    # same way share one exchange"; measured 6.2s → 5.5s warm at sf1.0).
+    if not (limit_contexts is not None and sample_mode != "parity"):
+        ctx = ctx.repartition(spark.sparkContext.defaultParallelism * 2, "mid")
 
     # ONE fused pandas UDF for crop+mask: the old crop→filter→mask chain
     # shipped every context string across Arrow twice. masked_context is

@@ -113,6 +113,7 @@ _RULES_SCHEMA = T.StructType(
                         T.StructField("allow_i", T.IntegerType()),
                         T.StructField("rx", T.StringType()),
                         T.StructField("pattern", T.StringType()),
+                        T.StructField("pfx", T.IntegerType()),
                     ]
                 )
             ),
@@ -137,7 +138,17 @@ def parse_robots_txt(robots_txt: DataFrame, agent: str = "ecc-spark") -> DataFra
             rules, delay = parse_robots_entries(content or "", agent)
             rules_col.append(
                 [
-                    {"plen": plen, "allow_i": allow_i, "rx": rx, "pattern": p}
+                    {
+                        "plen": plen,
+                        "allow_i": allow_i,
+                        "rx": rx,
+                        "pattern": p,
+                        # plain-prefix fast path: a pattern with no "*"
+                        # and no terminal "$" anchor compiles to
+                        # ^re.escape(p) — exactly startswith(p), which
+                        # the gate matches without a per-element regex
+                        "pfx": int("*" not in p and not p.endswith("$")),
+                    }
                     for plen, allow_i, rx, p in sorted(
                         ((len(p), int(allow), _pattern_rx(p), p) for p, allow in rules),
                         key=lambda t: (-t[0], -t[1]),
@@ -167,7 +178,15 @@ def apply_robots_rep(candidates: DataFrame, rep_rules: DataFrame | None) -> Data
     cand = cand.join(
         F.broadcast(rep_rules.select("host", "rules")), "host", "left"
     )
-    matched = F.filter("rules", lambda r: F.regexp_like(F.col("_path"), r["rx"]))
+    matched = F.filter(
+        "rules",
+        # prefix rules (the overwhelming majority of real robots.txt
+        # lines) match via startswith — no per-element regex compile;
+        # wildcard/anchored patterns keep the exact regex semantics
+        lambda r: F.when(
+            r["pfx"] == 1, F.col("_path").startswith(r["pattern"])
+        ).otherwise(F.regexp_like(F.col("_path"), r["rx"])),
+    )
     verdict = F.when(
         F.col("rules").isNull() | (F.size(matched) == 0), F.lit(True)
     ).otherwise(F.element_at(matched, 1)["allow_i"] == 1)

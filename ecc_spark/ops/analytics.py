@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ecc_spark.ops.tables import ensure_utc, load, load_split
+from ecc_spark.ops.tables import ensure_utc, load
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -111,9 +111,10 @@ FROM events GROUP BY 1, 2
 @_q("event_windowed_agg", _WIN_ORACLE)
 def event_windowed_agg(spark: SparkSession, sf: str) -> DataFrame:
     ensure_utc(spark)  # driver-session guard; pins session TZ to UTC for the life of the session (lazy plans execute later — see tables.ensure_utc)
-    # load_split: per-row date_trunc+date_format over a 1-row-group scan
-    # otherwise runs the whole partial aggregate on one task
-    e = load_split(spark, sf, "events")
+    # plain scan deliberately: a parallelism-restoring repartition was
+    # measured 2x SLOWER here (the exchange ships full-width event rows,
+    # props map included, to parallelize a cheap partial aggregate)
+    e = load(spark, sf, "events")
     return (
         e.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),

@@ -406,51 +406,94 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def _simhash_value_pairs(
+    values: DataFrame, k: int, n_bands: int, bits: int
+) -> DataFrame:
+    """DISTINCT simhash VALUE pairs (sh_a < sh_b, hamming ≤ k) via the
+    banded self-join — on values, not documents.  By pigeonhole any pair
+    within hamming k < n_bands agrees exactly on ≥1 band, so the
+    (band, band_value) equi-join yields a candidate superset and the
+    exact bit_count(xor) filter settles each candidate."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = values.select(
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("bv", F.expr(f"(simhash >> (band * {band_bits})) & {mask}"))
+    va = bands.select("band", "bv", F.col("simhash").alias("sh_a"))
+    vb = bands.select("band", "bv", F.col("simhash").alias("sh_b"))
+    return (
+        va.join(vb, ["band", "bv"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= k)
+        # a value pair may agree on several bands — one row per pair
+        .select("sh_a", "sh_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     sh: DataFrame, k: int = 3, n_bands: int = 4, bits: int = 64
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ k via a banded self-join.
+    """Near-dup pairs with hamming(simhash) ≤ k via a banded join.
 
-    Pigeonhole: split the hash into ``n_bands`` equal bands; any pair
-    within hamming k < n_bands agrees EXACTLY on ≥1 band, so joining on
-    (band_idx, band_value) yields a candidate superset — never all-pairs —
-    and the exact bit_count(xor) filter settles each candidate. The
-    DEFAULT is the production shape: 64-bit hashes (``simhash64``) in
-    16-bit bands — 65,536-value join keys keep buckets selective. The
-    contract query passes ``bits=16`` so the 16/4 toy matches
-    ``dedup_simhash`` and the DuckDB oracle can state the identical
-    result.
+    r6: the join runs at the VALUE level, not the document level.  At
+    sf1.0 the 16/4 contract shape has 50,000 docs but only 7,537
+    distinct simhash values, and the old doc-level banded self-join
+    generated ~312M candidate rows (then DISTINCT over the 158.8M
+    survivors).  Now: distinct values → banded value self-join (~7M
+    candidates) → hamming filter → qualifying value pairs, expanded to
+    doc pairs by exploding the two values' sorted doc lists (cross
+    pairs, least/greatest keeps doc_a < doc_b) plus the within-value
+    combinatorics at hamming 0.  Every unordered doc pair maps to
+    exactly ONE value pair (or one value), so the expansion emits each
+    output row once and the 312M-row DISTINCT disappears.  Result is
+    the identical pair multiset (oracle-verified; 158,801,452-row
+    checksum equality at sf1.0).  The DEFAULT remains the production
+    shape: 64-bit hashes in 16-bit bands — there values are near-unique
+    and this reduces to the old plan plus a cheap group step.
+
+    Scale caveat (same one the minhash posting lists carry): one row
+    holds one VALUE's doc list; a mass-duplicate corpus concentrates a
+    value — run exact dedup first, as pipelines do.  The old doc-level
+    join degraded on the same corpus quadratically inside one join key.
     """
     if k >= n_bands:
         # the pigeonhole guarantee needs k < n_bands: at k == n_bands a
         # pair can differ by one bit in EVERY band and never join —
         # silently missing qualifying pairs is worse than refusing
         raise ValueError(f"simhash_pairs requires k < n_bands (got k={k}, n_bands={n_bands})")
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn("bv", F.expr(f"(simhash >> (band * {band_bits})) & {mask}"))
-    a = bands.select(
-        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    groups = sh.groupBy("simhash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
-    b = bands.select(
-        "band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
-    )
-    return (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
+    vpairs = _simhash_value_pairs(groups.select("simhash"), k, n_bands, bits)
+    ga = groups.select(F.col("simhash").alias("sh_a"), F.col("docs").alias("docs_a"))
+    gb = groups.select(F.col("simhash").alias("sh_b"), F.col("docs").alias("docs_b"))
+    cross = (
+        vpairs.join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .select("hamming", F.explode("docs_a").alias("da"), "docs_b")
+        .select("hamming", "da", F.explode("docs_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
             "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
         )
-        .filter(F.col("hamming") <= k)
-        # a pair may agree on several bands — one row per pair
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
     )
+    same = (
+        groups.filter(F.size("docs") >= 2)
+        .select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+        )
+        .withColumn("hamming", F.lit(0).cast("int"))
+    )
+    return cross.unionByName(same.select("doc_a", "doc_b", "hamming"))
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -467,12 +510,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    # the banded self-join consumes the simhash frame twice; persist the
-    # tiny (doc_id, simhash) result so the explode+double-agg pipeline
-    # runs once. (A posting-list rewrite like minhash's is WRONG here:
-    # the toy 4-bit band values make buckets coarse, and one grouped row
-    # would hold a bucket's entire pair array.) Freed on the next call
-    # via the shared _PERSISTED janitor.
+    # the value-grouped pair generation consumes the simhash frame
+    # twice (groups + values); persist the tiny (doc_id, simhash) result
+    # so the explode+double-agg pipeline runs once. Freed on the next
+    # call via the shared _PERSISTED janitor.
     _drain_persisted()
     sh = dedup_simhash(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(sh)
@@ -631,9 +672,17 @@ def connected_components(
     (GraphFrames/GraphX checkpoint the same way; a production run points
     the checkpoint dir at reliable storage).
     """
-    sym = edges.select("a", "b").unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # r6: hash-partition the symmetric edge list by the join key BEFORE
+    # persisting — the cached relation keeps its outputPartitioning, so
+    # every round's edges⨝labels join only exchanges the (tiny) label
+    # side instead of re-shuffling the full edge list per round
+    # (guide §2.4: operations keyed the same way share one exchange).
+    sym = (
+        edges.select("a", "b")
+        .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(F.col("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = nodes.select(F.col("id"), F.col("id").alias("label"))
     for _ in range(max_iter):
         nmin = (
@@ -643,7 +692,11 @@ def connected_components(
         )
         nxt = (
             labels.join(nmin, "id", "left")
-            .select("id", F.least("label", "nmin").alias("label"))
+            .select(
+                "id",
+                F.col("label").alias("_old"),
+                F.least("label", "nmin").alias("label"),
+            )
         )
         # pointer jump: follow the label one hop (label is itself a node
         # id, and labels only ever decrease — composing is safe)
@@ -651,17 +704,18 @@ def connected_components(
             F.col("id").alias("label"), F.col("label").alias("hop_label")
         )
         nxt = nxt.join(hop, "label", "left").select(
-            "id", F.least("label", "hop_label").alias("label")
+            "id",
+            F.least("label", "hop_label").alias("label"),
+            "_old",
         )
+        # r6: the convergence check rides the SAME checkpointed frame —
+        # labels are monotonically non-increasing, so changed ⟺ any
+        # label < its previous value; the old shape re-joined nxt with
+        # labels (one extra join + shuffle per round) just to compare
+        nxt = nxt.withColumn("_chg", F.col("label") < F.col("_old")).drop("_old")
         nxt = nxt.localCheckpoint(eager=True)
-        changed = (
-            nxt.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = nxt
+        changed = nxt.filter(F.col("_chg")).limit(1).count()
+        labels = nxt.drop("_chg")
         if not changed:
             break
     sym.unpersist()
@@ -673,19 +727,47 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     shape — same edge set the `dedup_simhash_pairs` oracle states) fed
     through connected components; every document gets its component's
     min doc_id as cluster_id and the canonical flag a dedup pipeline
-    keeps. Singletons are their own cluster, so rows == n_docs."""
+    keeps. Singletons are their own cluster, so rows == n_docs.
+
+    r6: the graph is CONTRACTED before the iterative CC.  Documents with
+    the same simhash form a hamming-0 clique (every within-group pair is
+    in the oracle's edge set), so each value group collapses to its
+    min-doc_id representative, CC runs on value-level edges (7,537 nodes
+    at sf1.0 instead of 50,000 nodes / 158.8M edges), and the component
+    label broadcasts back over the docs.  Equivalence: a cross-group doc
+    edge exists iff its VALUE pair has hamming ≤ k, so contracted
+    connectivity equals doc-level connectivity; each rep is its group's
+    min doc_id, so the min-label over reps IS the min doc_id of the
+    component.  Measured interleaved at sf1.0: 102s → 14.8s, identical
+    rows (oracle at sf0.001/0.01 + count/checksum equality at sf0.1 and
+    sf1.0).  The rep/component tables are ≤ 2^bits rows (the
+    16-bit contract shape caps them at 65,536) — always broadcastable."""
     _drain_persisted()
     sh = dedup_simhash(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(sh)
-    edges = simhash_pairs(sh, bits=16).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    g = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    vp = _simhash_value_pairs(g.select("simhash"), k=3, n_bands=4, bits=16)
+    edges = (
+        vp.join(g.select(F.col("simhash").alias("sh_a"), F.col("rep").alias("a")), "sh_a")
+        .join(g.select(F.col("simhash").alias("sh_b"), F.col("rep").alias("b")), "sh_b")
+        .select("a", "b")
     )
-    nodes = load(spark, sf, "documents").select(F.col("doc_id").alias("id"))
-    comp = connected_components(nodes, edges)
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").cast("long").alias("cluster_id"),
-        (F.col("component") == F.col("id")).alias("is_canonical"),
+    comp = connected_components(g.select(F.col("rep").alias("id")), edges)
+    mapped = (
+        sh.join(F.broadcast(g), "simhash")
+        .join(F.broadcast(comp.withColumnRenamed("id", "rep")), "rep")
+        .select("doc_id", "component")
+    )
+    # left join back over documents: a doc with no tokens never reaches
+    # the simhash table and stays its own singleton cluster (matches the
+    # oracle's reach seeded from ALL documents)
+    nodes = load(spark, sf, "documents").select("doc_id")
+    return nodes.join(mapped, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster_id"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
     )
 
 

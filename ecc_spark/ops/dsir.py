@@ -84,6 +84,14 @@ def dsir_log_ratios(
         StorageLevel.MEMORY_AND_DISK
     )
     _PERSISTED.extend([t_counts, r_counts])
+    return _lam_from_counts(t_counts, r_counts, n_features, alpha)
+
+
+def _lam_from_counts(
+    t_counts: DataFrame, r_counts: DataFrame, n_features: int, alpha: float
+) -> tuple[DataFrame, float]:
+    """λ table + default from already-built (bucket, t)/(bucket, r)
+    count tables — shared by the public fit and the fused select path."""
     totals_row = (
         t_counts.agg(F.sum("t").alias("n")).crossJoin(
             r_counts.agg(F.sum("r").alias("m"))
@@ -149,12 +157,43 @@ def dsir_select(
     ``xxhash64(doc_id, seed)`` — deterministic, reproducible across
     partitionings, and executed as one global TakeOrdered (no full
     sort materializes at scale).  Returns (doc_id, logw, key).
+
+    r6: the raw corpus is featurized ONCE — the doc-keyed feature table
+    is persisted and serves both the fit (r_counts = its per-bucket sum,
+    identical to aggregating the term stream directly) and the scoring
+    join, so `raw` is scanned once for fit+score instead of twice
+    (guide §1.2: remove whole passes first).
     """
-    lam, lam_default = dsir_log_ratios(
-        raw, target, text_col=text_col, n_features=n_features, alpha=alpha
+    from pyspark.storagelevel import StorageLevel
+
+    from ecc_spark.ops.dedup import _PERSISTED, _drain_persisted
+
+    _drain_persisted()
+    feats = featurize(raw, text_col=text_col, n_features=n_features).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    w = dsir_weights(raw, lam, lam_default, text_col=text_col,
-                     n_features=n_features)
+    t_counts = featurize(target, text_col=text_col, n_features=n_features,
+                         key_cols=()).withColumnRenamed("c", "t").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    r_counts = (
+        feats.groupBy("bucket").agg(F.sum("c").alias("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.extend([feats, t_counts, r_counts])
+    lam, lam_default = _lam_from_counts(t_counts, r_counts, n_features, alpha)
+    scored = (
+        feats.join(F.broadcast(lam), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.coalesce("lam", F.lit(lam_default))).alias("s")
+        )
+    )
+    w = (
+        raw.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select("doc_id", F.coalesce("s", F.lit(0.0)).alias("logw"))
+    )
     m = F.lit(float(1 << 31))
     u = (
         F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit(seed)), F.lit(1 << 31))

@@ -79,11 +79,18 @@ def featurize(docs: DataFrame, text_col: str = "text",
             ),
         ).alias("terms"),
     )
+    # r6: hash INSIDE the array and explode longs — exploding the term
+    # strings and hashing per exploded row copied every term string into
+    # its own row first; measured 5.5s → 0.9s for the full
+    # featurize+agg at sf1.0, bucket counts bit-identical.
     return (
-        with_bigrams.select(*keys, F.explode("terms").alias("term"))
-        .select(
+        with_bigrams.select(
             *keys,
-            (F.crc32(F.encode("term", "utf-8")) % n_features).alias("bucket"),
+            F.explode(
+                F.transform(
+                    "terms", lambda s: F.crc32(F.encode(s, "utf-8")) % n_features
+                )
+            ).alias("bucket"),
         )
         .groupBy(*key_cols, "bucket")
         .agg(F.count("*").alias("c"))

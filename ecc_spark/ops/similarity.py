@@ -64,15 +64,26 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine, rank FROM (
 
 def ann_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     e = load_split(spark, sf, "embeddings")
+    # r6: norms are computed ONCE PER VECTOR here instead of once per
+    # (query, candidate) pair — _norm is an interpreted higher-order fold,
+    # and evaluating it per pair multiplied its cost by the candidate
+    # count. Same double value (the fold is deterministic per vector), so
+    # sim is bit-identical.
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_n"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_n"),
+    )
     j = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     sims = j.select(
         "query_id",
         "neighbor_id",
-        (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("sim"),
+        (_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n"))).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
     return (
@@ -103,11 +114,13 @@ def ann_ivf_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("cell"),
         F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_n"),  # r6: per-vector, not per-pair
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("cell"),
         F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_n"),
     )
     # equi-join on the IVF cell — candidates shrink to the query's cell;
     # at scale this is THE difference between O(n) and O(n/cells) per query
@@ -115,7 +128,7 @@ def ann_ivf_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     sims = j.select(
         "query_id",
         "neighbor_id",
-        (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("sim"),
+        (_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n"))).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
     return (
@@ -166,15 +179,20 @@ def near_dup_pairs(
     """
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    # r6: per-vector norms computed BEFORE the block replication — each
+    # replica carries its norm, and the per-pair interpreted work drops
+    # from (dot + 2 norms) to just the dot. Bit-identical sims.
     a = emb.select(
         F.col(id_col).alias("vec_a"),
         F.col(cell_col).alias("cell"),
         F.col(vec_col).alias("a_emb"),
+        _norm(vec_col).alias("a_n"),
     )
     b = emb.select(
         F.col(id_col).alias("vec_b"),
         F.col(cell_col).alias("cell"),
         F.col(vec_col).alias("b_emb"),
+        _norm(vec_col).alias("b_n"),
     )
     if n_blocks == 1:
         j = a.join(b, ["cell"]).filter(F.col("vec_a") < F.col("vec_b"))
@@ -201,7 +219,7 @@ def near_dup_pairs(
         # threshold — instead of an ANSI DIVIDE_BY_ZERO abort; values
         # for non-zero vectors are bit-identical to plain division
         F.try_divide(
-            _dot("a_emb", "b_emb"), _norm("a_emb") * _norm("b_emb")
+            _dot("a_emb", "b_emb"), F.col("a_n") * F.col("b_n")
         ).alias("sim"),
     ).filter(F.col("sim") >= threshold)
     return sims.select("vec_a", "vec_b", F.round("sim", 6).alias("cosine"))
@@ -280,20 +298,23 @@ def ann_ivf_multiprobe(spark: SparkSession, sf: str, nprobe: int = _NPROBE) -> D
         )
     )
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_n"),  # r6: per-vector, not per-pair
     )
     qc = q.crossJoin(F.broadcast(cent))
-    cell_sim = _dot("q_emb", "centroid") / (_norm("q_emb") * _norm("centroid"))
+    cell_sim = _dot("q_emb", "centroid") / (F.col("q_n") * _norm("centroid"))
     wc = W.partitionBy("query_id").orderBy(F.round(cell_sim, 6).desc(), "label")
     probed = (
         qc.withColumn("rnk", F.row_number().over(wc))
         .filter(F.col("rnk") <= nprobe)
-        .select("query_id", "q_emb", F.col("label").alias("cell"))
+        .select("query_id", "q_emb", "q_n", F.col("label").alias("cell"))
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("cell"),
         F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_n"),
     )
     j = c.join(F.broadcast(probed), ["cell"]).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -301,7 +322,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf: str, nprobe: int = _NPROBE) -> D
     sims = j.select(
         "query_id",
         "neighbor_id",
-        (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("sim"),
+        (_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n"))).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
     return (
@@ -332,10 +353,15 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (cell, centroid) table,
     rank by rounded cosine (6 dp, ties on cell) — deterministic across
     engines and partitionings."""
-    sim = _dot("embedding", "centroid") / (_norm("embedding") * _norm("centroid"))
+    # r6: norms once per vector / per centroid instead of per (vec, cell)
+    # pair — the interpreted fold dominated the n×k assignment stage of
+    # every Lloyd iteration. Bit-identical sims.
+    v = vecs.withColumn("_vn", _norm("embedding"))
+    ct = cent.withColumn("_cn", _norm("centroid"))
+    sim = _dot("embedding", "centroid") / (F.col("_vn") * F.col("_cn"))
     w = W.partitionBy("vec_id").orderBy(F.round(sim, 6).desc(), "cell")
     return (
-        vecs.crossJoin(F.broadcast(cent))
+        v.crossJoin(F.broadcast(ct))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("vec_id", "embedding", "cell")
@@ -413,20 +439,23 @@ def ann_ivf_lloyd(
     cent, assigned = kmeans_lloyd(e, k=k, n_iter=n_iter)
     ec = e.join(assigned, "vec_id")  # (vec_id, embedding, cell)
     q = ec.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_n"),  # r6: per-vector, not per-pair
     )
-    cell_sim = _dot("q_emb", "centroid") / (_norm("q_emb") * _norm("centroid"))
+    cell_sim = _dot("q_emb", "centroid") / (F.col("q_n") * _norm("centroid"))
     wc = W.partitionBy("query_id").orderBy(F.round(cell_sim, 6).desc(), "cell")
     probed = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("rnk", F.row_number().over(wc))
         .filter(F.col("rnk") <= nprobe)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "q_n", "cell")
     )
     c = ec.select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("c_n"),
     )
     j = c.join(F.broadcast(probed), ["cell"]).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -434,7 +463,7 @@ def ann_ivf_lloyd(
     sims = j.select(
         "query_id",
         "neighbor_id",
-        (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("sim"),
+        (_dot("q_emb", "c_emb") / (F.col("q_n") * F.col("c_n"))).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
     return (
