@@ -993,3 +993,88 @@ def test_near_dup_pairs_blocking_invariant(spark):
 
     with _pytest.raises(ValueError, match="n_blocks"):
         near_dup_pairs(emb, threshold=tau, n_blocks=0)
+
+
+def test_simhash_pairs_value_level_equals_naive_doc_join(spark):
+    """r6 rewrite pin: the VALUE-level banded generation (distinct
+    simhash values -> value pairs -> doc-list expansion) must emit
+    exactly the naive doc-level banded self-join's DISTINCT pair set —
+    for the 16/4 contract shape AND the 64-bit production default."""
+    import random
+
+    from ecc_spark.ops.dedup import simhash_pairs
+
+    rng = random.Random(17)
+    # many deliberate value collisions so within-value cliques and
+    # multi-doc cross-value expansions are both exercised
+    vals16 = [rng.randrange(1 << 16) for _ in range(40)]
+    rows = [(i, vals16[rng.randrange(len(vals16))]) for i in range(300)]
+    for bits, n_bands, k in [(16, 4, 3), (64, 4, 3)]:
+        if bits == 64:
+            rows = [(i, v | (v << 16) | (v << 32)) for i, v in rows]
+        sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(sh, k=k, n_bands=n_bands, bits=bits).collect()
+        }
+        band_bits = bits // n_bands
+        mask = (1 << band_bits) - 1
+        want = set()
+        for (da, va) in rows:
+            for (db, vb) in rows:
+                if da >= db:
+                    continue
+                if bin(va ^ vb).count("1") > k:
+                    continue
+                if any(
+                    ((va >> (b * band_bits)) & mask) == ((vb >> (b * band_bits)) & mask)
+                    for b in range(n_bands)
+                ):
+                    want.add((da, db, bin(va ^ vb).count("1")))
+        assert got == want, f"bits={bits}: {len(got)} vs {len(want)}"
+
+
+def test_dedup_clusters_contraction_matches_doc_level_components(spark):
+    """r6 rewrite pin: clique-contracted clustering (value-level CC +
+    broadcast-back) must equal min-label components over the DOC-level
+    hamming<=3 edge set, computed here by a pure-python union-find."""
+    from ecc_spark.ops.dedup import dedup_clusters
+    from ecc_spark.ops.tables import load
+
+    SFX = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(spark, SFX).collect()
+    }
+    # doc-level reference: simhash -> all hamming<=3 pairs -> union-find
+    from ecc_spark.ops.dedup import dedup_simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, SFX).collect()}
+    docs = [r["doc_id"] for r in load(spark, SFX, "documents").select("doc_id").collect()]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sh[a] ^ sh[b]).count("1") <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for d in docs:
+        comp = find(d) if d in parent else d
+        want[d] = comp
+    # canonical label = min doc in component
+    comp_min = {}
+    for d in docs:
+        c = want[d]
+        comp_min[c] = min(comp_min.get(c, d), d)
+    for d in docs:
+        cl = comp_min[want[d]]
+        assert got[d] == (cl, cl == d), d
